@@ -1,0 +1,437 @@
+"""TPU-native CRT effect engine.
+
+One engine, not two: the reference splits preview/export into two
+near-duplicate Python functions (crt_filter.py:531 vs :702) because of
+host threading; here a single pure batched transform
+
+    step : (frames_u8 [B,H,W,3], aux, state [H,W,3]) -> (out_u8, state)
+
+serves both, compiled once per parameter set. Design (SURVEY.md §7):
+
+- All ~35 effect parameters are *static*: identity stages vanish at
+  trace time, constants fold, and XLA fuses the surviving stages into
+  one program over the NHWC batch.
+- Masks, LUT grids, warp tables, resize taps and text overlays are
+  precomputed on the host by the oracle (single source of truth for
+  bit-accuracy) and uploaded once as device constants.
+- Per-frame temporal inputs (scanline phase, flicker gain) are computed
+  host-side in f64 (matching the reference's NumPy scalar math) and
+  shipped as (B,) f32 arrays.
+- Noise / glitch randomness: "native" mode draws on device from
+  counter-based keys (fold_in(seed, frame_index) — deterministic,
+  reproducible, jit-contained); "host" mode injects reference-exact
+  fields for parity testing.
+- The persistence IIR s_t = p*s_{t-1} + (1-p)*x_t (crt_filter.py:1092)
+  runs as a lax.scan over the batch axis after the vmapped stateless
+  chain, carrying one frame across batch (and shard) boundaries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import oracle
+from .oracle import ops as oops
+from .ops import blur as oblur
+from .ops import color as ocolor
+from .ops import glitch as oglitch
+from .ops import resize as oresize
+from .ops import warp as owarp
+from .params import EffectParams
+
+
+class FrameAux(NamedTuple):
+    """Per-frame dynamic inputs (each leaf has a leading batch axis)."""
+
+    frame_idx: jax.Array  # (B,) int32
+    phase: jax.Array  # (B,) f32 scanline phase in px
+    flicker: jax.Array  # (B,) f32 flicker gain (1.0 when flicker off)
+    noise: Optional[jax.Array] = None  # (B, gh, gw) f32 std-normal (host mode)
+    glitch_base: Optional[jax.Array] = None  # (B, rows) f32 (host mode)
+    glitch_seg: Optional[jax.Array] = None  # (B, rows, segs) f32 (host mode)
+
+
+class CRTEngine:
+    """Compiled effect pipeline for one (params, H, W, fps) configuration.
+
+    Args:
+      params: effect parameters (clamped; static — changing them builds a
+        new engine / triggers recompilation, like loading a new preset).
+      height, width: frame size.
+      fps: output frame rate (drives phase/time per frame index).
+      engine: "export" (canonical algorithm set, crt_filter.py:702-861)
+        or "preview" (the preview glitch variant, :664-686).
+      rng: "native" (on-device counter-based draws) or "host"
+        (reference-exact fields injected through FrameAux).
+      seed: base RNG seed for native mode.
+      text_rgba: optional (H, W, 4) uint8 overlay (host-rasterized once;
+        see pythoncrt_tpu.text).
+      lut_exact: replicate the triad 1024-bin LUT quantization.
+      assoc_scan: use an O(log B) associative scan for the persistence
+        recurrence instead of lax.scan (throughput mode; same math, f32
+        reassociation differences only).
+    """
+
+    def __init__(
+        self,
+        params: EffectParams,
+        height: int,
+        width: int,
+        fps: float,
+        *,
+        engine: str = "export",
+        rng: str = "native",
+        seed: int = 0,
+        text_rgba: Optional[np.ndarray] = None,
+        lut_exact: bool = True,
+        assoc_scan: bool = False,
+        interpret: bool = False,
+    ) -> None:
+        if engine not in ("export", "preview"):
+            raise ValueError(f"engine must be 'export' or 'preview', got {engine!r}")
+        if rng not in ("native", "host"):
+            raise ValueError(f"rng must be 'native' or 'host', got {rng!r}")
+        p = params.clamped()
+        self.params = p
+        self.h, self.w = int(height), int(width)
+        self.fps = float(fps)
+        self.engine = engine
+        self.rng = rng
+        self.seed = int(seed)
+        self.lut_exact = bool(lut_exact)
+        self.assoc_scan = bool(assoc_scan)
+        self._build_consts(text_rgba)
+        self._step_first = jax.jit(functools.partial(self._step, first=True))
+        self._step_cont = jax.jit(functools.partial(self._step, first=False))
+
+    # ------------------------------------------------------------------
+    # Host-side constant tables (oracle is the single source of truth)
+    # ------------------------------------------------------------------
+
+    def _build_consts(self, text_rgba: Optional[np.ndarray]) -> None:
+        p, h, w = self.params, self.h, self.w
+        c: dict = {}
+
+        if p.pixelate_on:
+            y_map, x_map = oracle.pixelate_index_maps(h, w, p.pixel_size)
+            c["pix_y"], c["pix_x"] = jnp.asarray(y_map), jnp.asarray(x_map)
+
+        if p.bloom_on:
+            if p.fast_bloom:
+                h2, w2 = max(1, h // 2), max(1, w // 2)
+                c["bloom_down"] = tuple(jnp.asarray(a) for a in
+                                        (*oops.bilinear_taps(h, h2), *oops.bilinear_taps(w, w2)))
+                c["bloom_up"] = tuple(jnp.asarray(a) for a in
+                                      (*oops.bilinear_taps(h2, h), *oops.bilinear_taps(w2, w)))
+            else:
+                k = max(1, int(round(p.bloom_sigma * 3)) * 2 + 1)
+                taps = tuple(float(t) for t in oops.gaussian_kernel_1d(k, p.bloom_sigma))
+                self._bloom_taps = taps
+
+        if p.triad_on:
+            c["triad"] = jnp.asarray(oracle.triad_mask(h, w, p.triad_strength, p.triad_softness))
+
+        if p.scanlines_on:
+            self._sl_omega = np.float32(2.0 * np.pi / max(1e-6, p.scanline_period_px))
+            if p.scanlines_1d:
+                c["sl_y"] = jnp.asarray(np.arange(h, dtype=np.float32))
+            else:
+                c["sl_slant"] = jnp.asarray(oracle.scanline_slant(h, w, p.scanline_angle))
+                self._sl_inv_sharp = np.float32(
+                    1.0 / float(np.clip(p.scanline_thickness, 0.1, 4.0))
+                )
+
+        if p.vignette_on:
+            c["vignette"] = jnp.asarray(oracle.vignette_mask(h, w, p.vignette_strength)[..., None])
+
+        if p.noise_on:
+            g = max(1, int(p.grain_size))
+            self._grain_hw = (max(1, h // g), max(1, w // g)) if g > 1 else (h, w)
+            if g > 1:
+                gh, gw = self._grain_hw
+                c["grain_taps"] = tuple(jnp.asarray(a) for a in
+                                        (*oops.bilinear_taps(gh, h), *oops.bilinear_taps(gw, w)))
+
+        if p.warp_on:
+            map_x, map_y = oracle.barrel_warp_maps(h, w, p.warp_strength)
+            x0, fx = oops.split_map(map_x)
+            y0, fy = oops.split_map(map_y)
+            c["warp"] = tuple(jnp.asarray(a) for a in (y0, x0, fy, fx))
+
+        if p.glitch_on:
+            y0, rows = oracle.glitch_rows(h, p.glitch_height_frac)
+            self._glitch_y0, self._glitch_rows = y0, rows
+            if rows > 0:
+                ridx = np.arange(rows, dtype=np.float32)
+                if self.engine == "preview":
+                    amp = float(p.glitch_amp_px) * np.exp(-3.0 * (ridx / max(1.0, float(rows))))
+                else:
+                    amp = float(p.glitch_amp_px) * (1.0 - ridx / max(1.0, float(rows)))
+                    seg_len = max(8, min(32, w // 120 if w >= 120 else 8))
+                    self._glitch_seg_len = seg_len
+                    self._glitch_num_segs = (w + seg_len - 1) // seg_len
+                    c["glitch_seg_index"] = jnp.asarray(
+                        (np.arange(w, dtype=np.int32) // seg_len).astype(np.int32)
+                    )
+                c["glitch_amp"] = jnp.asarray(amp.astype(np.float32))
+
+        if text_rgba is not None and self.params.text.enabled:
+            ov = np.asarray(text_rgba)
+            if ov.shape[:2] != (h, w):
+                raise ValueError(f"text overlay shape {ov.shape[:2]} != frame {(h, w)}")
+            c["text_alpha"] = jnp.asarray(ov[..., 3:4].astype(np.float32) / 255.0)
+            c["text_rgb"] = jnp.asarray(ov[..., :3].astype(np.float32) / 255.0)
+        self._has_text = "text_alpha" in c
+
+        self._base_key = jax.random.key(self.seed)
+        self._c = c
+
+    # ------------------------------------------------------------------
+    # Per-frame chain (vmapped over the batch axis)
+    # ------------------------------------------------------------------
+
+    def _frame_chain(self, frame_u8: jax.Array, aux_row) -> jax.Array:
+        p, c, h, w = self.params, self._c, self.h, self.w
+        frame_idx, phase, flicker, noise, g_base, g_seg = aux_row
+        img = frame_u8.astype(jnp.float32) / 255.0  # stage 1
+
+        if p.aberration_on:  # stage 2
+            img = jnp.stack(
+                [
+                    jnp.roll(img[..., 0], p.aberration_px, axis=1),
+                    img[..., 1],
+                    jnp.roll(img[..., 2], -p.aberration_px, axis=1),
+                ],
+                axis=-1,
+            )
+
+        if p.pixelate_on:  # stage 3
+            img = oresize.remap_nearest(img, c["pix_y"], c["pix_x"])
+
+        img = ocolor.color_adjust(  # stage 4
+            img, p.brightness, p.contrast, p.gamma, p.saturation, p.temperature
+        )
+
+        if self._has_text and not p.text.after:  # stage 5
+            img = ocolor.composite_text(img, c["text_alpha"], c["text_rgb"])
+
+        if p.bloom_on:  # stage 6
+            src = img
+            if p.bloom_threshold > 0.0:
+                thr = np.float32(min(0.99, max(0.0, p.bloom_threshold)))
+                src = jnp.clip((img - thr) / np.float32(max(1e-6, 1.0 - float(thr))), 0.0, 1.0)
+            if p.fast_bloom:
+                ds = oresize.resize_bilinear(src, *c["bloom_down"])
+                blurred = oresize.resize_bilinear(ds, *c["bloom_up"])
+            else:
+                blurred = oblur.gaussian_blur_replicate(src, self._bloom_taps, self._bloom_taps)
+            img = jnp.clip(img + np.float32(p.bloom_strength) * blurred, 0.0, 1.0)
+
+        if p.triad_on:  # stage 7
+            img = ocolor.apply_triad(
+                img, c["triad"], p.triad_gamma, p.triad_preserve_luma, self.lut_exact
+            )
+
+        if p.scanlines_on:  # stage 8
+            if p.scanlines_1d:
+                s = 0.5 * (1.0 + jnp.sin(self._sl_omega * (c["sl_y"] + phase)))
+                sl = 1.0 - np.float32(p.scanline_strength) * s
+                img = jnp.clip(img * sl[:, None, None], 0.0, 1.0)
+            else:
+                s = 0.5 * (1.0 + jnp.sin(self._sl_omega * (c["sl_slant"] + phase)))
+                shaped = jnp.power(s, self._sl_inv_sharp)
+                sl2 = 1.0 - np.float32(p.scanline_strength) * shaped
+                img = jnp.clip(img * sl2[:, :, None], 0.0, 1.0)
+
+        if p.vignette_on:  # stage 9
+            img = jnp.clip(img * c["vignette"], 0.0, 1.0)
+
+        if p.flicker_on:  # stage 10
+            img = jnp.clip(img * flicker, 0.0, 1.0)
+
+        if p.noise_on:  # stage 11
+            gh, gw = self._grain_hw
+            if noise is None:
+                key = jax.random.fold_in(self._base_key, frame_idx)
+                field = jax.random.normal(jax.random.fold_in(key, 11), (gh, gw), jnp.float32)
+            else:
+                field = noise
+            if p.grain_size > 1:
+                field = oresize.resize_bilinear(field, *c["grain_taps"])
+            field = field * np.float32(p.noise_strength / 255.0)
+            img = jnp.clip(img + field[:, :, None], 0.0, 1.0)
+
+        if p.warp_on:  # stage 12
+            img = owarp.bilinear_gather_const0(img, *c["warp"])
+
+        if self._has_text and p.text.after:  # stage 13
+            img = ocolor.composite_text(img, c["text_alpha"], c["text_rgb"])
+
+        if p.glitch_on and self._glitch_rows > 0:  # stage 14
+            rows = self._glitch_rows
+            amp = c["glitch_amp"]
+            if self.engine == "preview":
+                if g_base is None:
+                    key = jax.random.fold_in(self._base_key, frame_idx)
+                    offs = oglitch.native_preview_offsets(jax.random.fold_in(key, 14), rows, amp)
+                else:
+                    offs = g_base
+            else:
+                if g_base is None or g_seg is None:
+                    key = jax.random.fold_in(self._base_key, frame_idx)
+                    base, seg = oglitch.native_export_fields(
+                        jax.random.fold_in(key, 14), rows, self._glitch_num_segs, amp
+                    )
+                else:
+                    base, seg = g_base, g_seg
+                offs = oglitch.export_offsets(base, seg, c["glitch_seg_index"])
+            img = oglitch.shear_band(img, self._glitch_y0, offs)
+
+        return img
+
+    # ------------------------------------------------------------------
+    # Batched step with persistence scan
+    # ------------------------------------------------------------------
+
+    def _step(self, frames_u8, aux: FrameAux, state, *, first: bool):
+        imgs = jax.vmap(self._frame_chain)(frames_u8, aux)
+        p = self.params
+        if p.persistence_on:
+            pp = np.float32(p.persistence)
+            om = np.float32(1.0 - p.persistence)
+
+            def blend(prev, cur):
+                b = jnp.clip(pp * prev + om * cur, 0.0, 1.0)
+                return b, b
+
+            if first:
+                # First frame of the stream has no previous state: it passes
+                # through unblended (crt_filter.py:1094-1095).
+                state0 = imgs[0]
+                if self.assoc_scan:
+                    rest = self._assoc_persistence(imgs[1:], state0)
+                    new_state = rest[-1] if rest.shape[0] else state0
+                else:
+                    new_state, rest = jax.lax.scan(blend, state0, imgs[1:])
+                outs = jnp.concatenate([imgs[:1], rest], axis=0)
+            else:
+                if self.assoc_scan:
+                    outs = self._assoc_persistence(imgs, state)
+                    new_state = outs[-1]
+                else:
+                    new_state, outs = jax.lax.scan(blend, state, imgs)
+        else:
+            outs = imgs
+            new_state = imgs[-1]
+        return ocolor.to_uint8(outs), new_state
+
+    def _assoc_persistence(self, imgs, state0):
+        """O(log B) associative scan for s_t = p*s_{t-1} + (1-p)*x_t.
+
+        The pair (A, b) composes as (A2*A1, A2*b1 + b2); the clip in the
+        reference is a mathematical no-op (convex combination of [0,1]
+        values), applied once at the end for safety.
+        """
+        p = np.float32(self.params.persistence)
+        om = np.float32(1.0 - self.params.persistence)
+        n = imgs.shape[0]
+        A = jnp.full((n,) + (1,) * (imgs.ndim - 1), p, imgs.dtype)
+        b = om * imgs
+
+        def combine(x, y):
+            ax, bx = x
+            ay, by = y
+            return ax * ay, ay * bx + by
+
+        As, bs = jax.lax.associative_scan(combine, (A, b), axis=0)
+        return jnp.clip(As * state0[None] + bs, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    # Host API
+    # ------------------------------------------------------------------
+
+    def make_aux(self, frame_indices: np.ndarray) -> FrameAux:
+        """Build per-frame dynamic inputs for the given absolute frame
+        indices. Host f64 scalar math matches the reference exactly
+        (phase: crt_filter.py:1043, flicker: :632, time: :1064)."""
+        p = self.params
+        idx = np.asarray(frame_indices, dtype=np.int64)
+        t = idx / float(self.fps)
+        phase = (t * p.scanline_speed_px_s).astype(np.float32)
+        if p.flicker_on:
+            flicker = (
+                1.0 + 0.25 * p.flicker_strength * np.sin(2.0 * np.pi * p.flicker_hz * t)
+            ).astype(np.float32)
+        else:
+            flicker = np.ones(idx.shape[0], np.float32)
+
+        noise = g_base = g_seg = None
+        if self.rng == "host":
+            if p.noise_on:
+                gh, gw = self._grain_hw
+                rng = np.random.default_rng(self.seed)
+                # independent per-frame streams keyed by frame index
+                noise = np.stack(
+                    [
+                        np.random.default_rng((self.seed, int(i))).standard_normal(
+                            (gh, gw), dtype=np.float32
+                        )
+                        for i in idx
+                    ]
+                )
+            if p.glitch_on and self._glitch_rows > 0:
+                if self.engine == "preview":
+                    g_base = np.stack(
+                        [
+                            oracle.glitch_offsets_preview(
+                                self.h, self.w, float(ph), p.glitch_amp_px, p.glitch_height_frac
+                            )
+                            for ph in phase
+                        ]
+                    )
+                else:
+                    bases, segs = [], []
+                    for ph in phase:
+                        base, seg, _ = oracle.glitch_fields_export(
+                            self.h, self.w, float(ph), p.glitch_amp_px, p.glitch_height_frac
+                        )
+                        bases.append(base)
+                        segs.append(seg)
+                    g_base, g_seg = np.stack(bases), np.stack(segs)
+
+        return FrameAux(
+            frame_idx=jnp.asarray(idx.astype(np.int32)),
+            phase=jnp.asarray(phase),
+            flicker=jnp.asarray(flicker),
+            noise=None if noise is None else jnp.asarray(noise),
+            glitch_base=None if g_base is None else jnp.asarray(g_base),
+            glitch_seg=None if g_seg is None else jnp.asarray(g_seg),
+        )
+
+    def init_state(self) -> jax.Array:
+        return jnp.zeros((self.h, self.w, 3), jnp.float32)
+
+    def process(self, frames_u8, frame_indices=None, state=None):
+        """Run a batch. frames_u8: (B, H, W, 3) uint8 (numpy or device).
+        Returns (out_u8 (B, H, W, 3) device array, new_state).
+
+        Pass state=None for the first batch of a stream; thereafter pass
+        the returned state to carry the persistence tail across batches.
+        """
+        frames_u8 = jnp.asarray(frames_u8)
+        b = frames_u8.shape[0]
+        if frame_indices is None:
+            frame_indices = np.arange(b)
+        aux = self.make_aux(np.asarray(frame_indices))
+        if state is None:
+            return self._step_first(frames_u8, aux, self.init_state())
+        return self._step_cont(frames_u8, aux, state)
+
+    def jitted_step(self, first: bool = False):
+        """Expose the compiled step function (for benchmarking/sharding)."""
+        return self._step_first if first else self._step_cont

@@ -1,0 +1,57 @@
+"""Static-index resize primitives (JAX).
+
+All index maps and bilinear taps are precomputed on the host by the
+oracle (pythoncrt_tpu.oracle.ops) so device results are bit-identical to
+the ground truth: the device side is pure gathers + lerps that XLA fuses
+into the surrounding elementwise chain. Replaces cv2.resize use at
+crt_filter.py:582-583 (pixelate), :606-607 (fast bloom), :642 (grain).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gather_rows(img: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """img[idx] along axis 0 (idx: int32 [N])."""
+    return jnp.take(img, idx, axis=0)
+
+
+def gather_cols(img: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """img[:, idx] along axis 1 (idx: int32 [N])."""
+    return jnp.take(img, idx, axis=1)
+
+
+def remap_nearest(img: jnp.ndarray, y_map: jnp.ndarray, x_map: jnp.ndarray) -> jnp.ndarray:
+    """Composed nearest-neighbour resample: out[y, x] = img[y_map[y], x_map[x]].
+
+    One gather per axis; used for the pixelate (mosaic) stage where the
+    down+up nearest resizes compose into a single index map.
+    """
+    return gather_cols(gather_rows(img, y_map), x_map)
+
+
+def resize_bilinear_axis0(img, lo, frac):
+    """2-tap lerp along axis 0. lo: int32 [out], frac: f32 [out]."""
+    h = img.shape[0]
+    hi = jnp.minimum(lo + 1, h - 1)
+    f = frac.reshape((-1,) + (1,) * (img.ndim - 1))
+    return jnp.take(img, lo, axis=0) * (1.0 - f) + jnp.take(img, hi, axis=0) * f
+
+
+def resize_bilinear_axis1(img, lo, frac):
+    """2-tap lerp along axis 1."""
+    w = img.shape[1]
+    hi = jnp.minimum(lo + 1, w - 1)
+    f = frac.reshape((1, -1) + (1,) * (img.ndim - 2))
+    return jnp.take(img, lo, axis=1) * (1.0 - f) + jnp.take(img, hi, axis=1) * f
+
+
+def resize_bilinear(img, ylo, yfrac, xlo, xfrac):
+    """Separable bilinear resize with host-precomputed taps.
+
+    Matches oracle.ops.resize_bilinear exactly (rows axis first, then
+    columns — same accumulation order, same f32 rounding).
+    """
+    rows = resize_bilinear_axis0(img, ylo, yfrac)
+    return resize_bilinear_axis1(rows, xlo, xfrac)
