@@ -1,0 +1,170 @@
+"""Headline benchmark: 1080p frames/sec/chip, full effect stack
+(BASELINE.json config 3), vs the CPU reference path.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline = TPU fps / CPU-oracle fps on the identical config (the
+oracle reproduces the reference chain; the upstream repo publishes no
+numbers of its own — BASELINE.md).
+
+Usage: python bench.py [--quick] [--all]
+  --quick: small frames / few iters (CI smoke)
+  --all:   also print per-config results for BASELINE configs 1-4 to stderr
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_frames(b, h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+
+
+def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
+    """Device-resident engine throughput: frames and aux pre-staged in
+    HBM, outputs stay in HBM (block_until_ready forces completion without
+    a device->host copy).
+
+    Rationale: this rig reaches the TPU through a loopback relay whose
+    host<->device path measures ~25-90 MB/s — three orders of magnitude
+    below real v5e PCIe DMA — so transfer-inclusive numbers here would
+    benchmark the tunnel, not the framework. The production pipeline
+    overlaps DMA with compute (pipeline.py); per-chip kernel throughput
+    is the metric that transfers to real deployments.
+    """
+    import jax
+
+    from pythoncrt_tpu.engine import CRTEngine
+
+    import jax.numpy as jnp
+
+    eng = CRTEngine(params, h, w, fps=30.0, assoc_scan=assoc_scan)
+    frames = jax.device_put(make_frames(batch, h, w))
+    aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
+    state = eng.init_state()
+    first = jnp.zeros((1,), jnp.bool_)
+    step = eng.jitted_step()
+    t0 = time.perf_counter()
+    out, _ = step(frames, aux, state, first, eng._c)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmup):
+        out, _ = step(frames, aux, state, first, eng._c)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, _ = step(frames, aux, state, first, eng._c)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, compile_s
+
+
+def bench_oracle(params, h, w, n_frames):
+    from pythoncrt_tpu import oracle
+
+    p = params.clamped()
+    frames = make_frames(n_frames, h, w)
+    triad = oracle.triad_mask(h, w, p.triad_strength, p.triad_softness) if p.triad_on else None
+    vig = oracle.vignette_mask(h, w, p.vignette_strength) if p.vignette_on else None
+    noise = (
+        np.random.default_rng(0).standard_normal(
+            (max(1, h // p.grain_size), max(1, w // p.grain_size)), dtype=np.float32
+        )
+        if p.noise_on
+        else None
+    )
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        img = oracle.apply_effects(
+            frames[i], p, phase_px=i * 1.25, time_sec=i / 30.0,
+            triad=triad, vignette=vig, noise_field=noise,
+        )
+        img = oracle.persistence_blend(prev, img, p.persistence)
+        prev = img
+        oracle.ops.to_uint8(img)
+    return n_frames / (time.perf_counter() - t0)
+
+
+def config_params(name):
+    from pythoncrt_tpu.params import EffectParams
+
+    if name == "c1_defaults_480p":  # scanlines + vignette only
+        return EffectParams(
+            scanline_strength=0.6, vignette_strength=0.25, triad_strength=0.0,
+            aberration_px=0, bloom_strength=0.0, noise_strength=0.0,
+            persistence=0.0, pixel_size=1, fast_bloom=False,
+        )
+    if name == "c2_retro_720p":  # scanlines + triad + aberration + noise
+        return EffectParams(
+            scanline_strength=0.6, triad_strength=0.35, aberration_px=2,
+            noise_strength=4.0, vignette_strength=0.0, bloom_strength=0.0,
+            persistence=0.0, pixel_size=1, fast_bloom=False,
+        )
+    if name == "c3_full_1080p":  # full stack: gaussian bloom, warp, flicker, grain, grade
+        return EffectParams(
+            scanline_strength=0.6, triad_strength=0.35, triad_softness=0.5,
+            aberration_px=1, bloom_sigma=1.2, bloom_strength=0.25,
+            fast_bloom=False, noise_strength=1.5, vignette_strength=0.25,
+            persistence=0.0, pixel_size=2, grain_size=2, warp_strength=0.15,
+            flicker_strength=0.2, flicker_hz=2.0, brightness=0.02,
+            contrast=1.05, gamma=1.1, saturation=0.9, temperature=0.1,
+        )
+    if name == "c4_temporal_1080p":  # persistence + glitch + animated roll
+        return EffectParams(
+            scanline_strength=0.6, triad_strength=0.35, aberration_px=1,
+            bloom_strength=0.25, fast_bloom=True, noise_strength=1.5,
+            vignette_strength=0.25, persistence=0.6, pixel_size=1,
+            glitch_amp_px=6, glitch_height_frac=0.3, scanline_speed_px_s=120.0,
+        )
+    raise KeyError(name)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    run_all = "--all" in sys.argv
+    if quick:
+        h, w, batch, iters, oracle_frames = 270, 480, 32, 10, 2
+    else:
+        h, w, batch, iters, oracle_frames = 1080, 1920, 32, 10, 4
+
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    p3 = config_params("c3_full_1080p")
+    tpu_fps, compile_s = bench_engine(p3, h, w, batch, iters)
+    log(f"c3 full-stack {w}x{h}: {tpu_fps:.1f} fps (compile {compile_s:.1f}s)")
+
+    cpu_fps = bench_oracle(p3, h, w, oracle_frames)
+    log(f"c3 CPU oracle {w}x{h}: {cpu_fps:.2f} fps")
+
+    if run_all:
+        sizes = {"c1_defaults_480p": (480, 640), "c2_retro_720p": (720, 1280),
+                 "c4_temporal_1080p": (h, w)}
+        for name, (ch, cw) in sizes.items():
+            if quick:
+                ch, cw = ch // 2, cw // 2
+            fps, cs = bench_engine(config_params(name), ch, cw, batch, iters)
+            log(f"{name} {cw}x{ch}: {fps:.1f} fps (compile {cs:.1f}s)")
+
+    print(json.dumps({
+        "metric": f"1080p frames/sec/chip, full effect stack ({w}x{h})",
+        "value": round(tpu_fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(tpu_fps / max(cpu_fps, 1e-9), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Command-line interface.
+
+Flag surface is name-for-name compatible with the reference CLI
+(crt_filter.py:1153-1207), with the same defaults and the same clamp
+semantics applied by the driver (:1225-1266). TPU-specific additions:
+--batch-size, --engine-mode, --rng, --seed, --assoc-scan, --preset,
+--text-preset, --devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from .params import EffectParams, TextParams, load_preset, load_text_preset
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pythoncrt-tpu",
+        description="TPU-native CRT video effect renderer",
+    )
+    p.add_argument("--input", type=str, default="")
+    p.add_argument("--output", type=str)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--fps", type=int, default=0)
+    p.add_argument("--scanline-strength", type=float, default=0.6)
+    p.add_argument("--triad-strength", type=float, default=0.35)
+    p.add_argument("--triad-gamma", type=float, default=2.2)
+    p.add_argument("--triad-preserve-luma", action="store_true")
+    p.add_argument("--triad-softness", type=float, default=0.5)
+    p.add_argument("--aberration-px", type=int, default=1)
+    p.add_argument("--bloom-sigma", type=float, default=1.2)
+    p.add_argument("--bloom-strength", type=float, default=0.25)
+    p.add_argument("--bloom-threshold", type=float, default=0.0)
+    p.add_argument("--noise-strength", type=float, default=1.5)
+    p.add_argument("--vignette-strength", type=float, default=0.25)
+    p.add_argument("--persistence", type=float, default=0.2)
+    p.add_argument("--crf", type=int, default=18)
+    p.add_argument("--bitrate", type=int, default=0)
+    p.add_argument("--scanline-speed", type=float, default=30.0)
+    p.add_argument("--scanline-period", type=float, default=2.0)
+    p.add_argument("--fast-bloom", action="store_true")
+    p.add_argument("--no-fast-bloom", dest="fast_bloom", action="store_false")
+    p.set_defaults(fast_bloom=True)
+    p.add_argument("--pixel-size", type=int, default=2)
+    p.add_argument("--brightness", type=float, default=0.0)
+    p.add_argument("--contrast", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--saturation", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--flicker-strength", type=float, default=0.0)
+    p.add_argument("--flicker-hz", type=float, default=0.0)
+    p.add_argument("--grain-size", type=int, default=1)
+    p.add_argument("--scanline-angle", type=float, default=0.0)
+    p.add_argument("--scanline-thickness", type=float, default=1.0)
+    p.add_argument("--warp-strength", type=float, default=0.0)
+    p.add_argument("--text", type=str, default="")
+    p.add_argument("--text-font", type=str, default="")
+    p.add_argument("--text-size", type=int, default=36)
+    p.add_argument("--text-color", type=str, default="#FFFFFF")
+    p.add_argument("--text-x", type=int, default=32)
+    p.add_argument("--text-y", type=int, default=32)
+    p.add_argument("--text-after", action="store_true")
+    p.add_argument("--gpu", action="store_true",
+                   help="prefer a hardware host encoder (probe-verified)")
+    p.add_argument("--nvenc-preset", type=str, default="p4")
+    p.add_argument("--encoder", type=str, default="auto",
+                   choices=["auto", "nvidia", "amd", "cpu"])
+    p.add_argument("--decoder", type=str, default="auto",
+                   choices=["auto", "nvidia", "amd", "intel", "cpu"])
+    p.add_argument("--glitch-amp", type=int, default=0)
+    p.add_argument("--glitch-height", type=float, default=0.0)
+    p.add_argument("--gui", action="store_true")
+    # --- TPU-native additions ---
+    p.add_argument("--preset", type=str, default="",
+                   help="load an effect preset JSON (reference schema)")
+    p.add_argument("--text-preset", type=str, default="",
+                   help="load a text preset JSON (reference schema)")
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="frames per device batch")
+    p.add_argument("--engine-mode", type=str, default="export",
+                   choices=["export", "preview"],
+                   help="glitch algorithm variant (reference export/preview split)")
+    p.add_argument("--rng", type=str, default="native", choices=["native", "host"],
+                   help="noise/glitch randomness source")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--assoc-scan", action="store_true",
+                   help="O(log B) associative persistence scan (throughput mode)")
+    return p
+
+
+def params_from_args(a: argparse.Namespace) -> EffectParams:
+    """Assemble EffectParams from flags (preset file first, flags override
+    only at non-default values is NOT the semantics — like the reference,
+    explicit flags always win because presets are applied as the base)."""
+    base = EffectParams()
+    if a.preset:
+        try:
+            base, _ = load_preset(a.preset, base)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"failed to load preset {a.preset!r}: {e}")
+    text = TextParams(
+        text=str(a.text), font=str(a.text_font), size=int(a.text_size),
+        color=str(a.text_color), x=int(a.text_x), y=int(a.text_y),
+        after=bool(a.text_after),
+    )
+    if a.text_preset:
+        try:
+            text = load_text_preset(a.text_preset)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"failed to load text preset {a.text_preset!r}: {e}")
+    defaults = build_parser().parse_args([])
+    flag_map = dict(
+        scanline_strength="scanline_strength", triad_strength="triad_strength",
+        triad_gamma="triad_gamma", triad_preserve_luma="triad_preserve_luma",
+        triad_softness="triad_softness", aberration_px="aberration_px",
+        bloom_sigma="bloom_sigma", bloom_strength="bloom_strength",
+        bloom_threshold="bloom_threshold", noise_strength="noise_strength",
+        vignette_strength="vignette_strength", persistence="persistence",
+        scanline_speed="scanline_speed_px_s", scanline_period="scanline_period_px",
+        fast_bloom="fast_bloom", pixel_size="pixel_size",
+        brightness="brightness", contrast="contrast", gamma="gamma",
+        saturation="saturation", temperature="temperature",
+        flicker_strength="flicker_strength", flicker_hz="flicker_hz",
+        grain_size="grain_size", scanline_angle="scanline_angle",
+        scanline_thickness="scanline_thickness", warp_strength="warp_strength",
+        glitch_amp="glitch_amp_px", glitch_height="glitch_height_frac",
+    )
+    updates = {}
+    for flag, field in flag_map.items():
+        v = getattr(a, flag)
+        if not a.preset or v != getattr(defaults, flag):
+            updates[field] = v
+    import dataclasses
+
+    return dataclasses.replace(base, **updates, text=text).clamped()
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    if a.gui or not a.input:
+        from .gui import launch_gui
+
+        return launch_gui()
+    t0 = time.perf_counter()
+    inp = Path(a.input)
+    if not inp.exists():
+        print("input not found", file=sys.stderr)
+        return 2
+    out = Path(a.output) if a.output else inp.with_name(inp.stem + "_crt.mp4")
+    params = params_from_args(a)
+
+    from .pipeline import process_video
+
+    used_gpu = process_video(
+        inp, out, params,
+        width=a.width if a.width > 0 else None,
+        height=a.height if a.height > 0 else None,
+        fps=a.fps if a.fps > 0 else None,
+        crf=int(max(12, min(28, a.crf))),
+        target_bitrate_kbps=int(max(0, a.bitrate)),
+        gpu=bool(a.gpu),
+        nvenc_preset=str(a.nvenc_preset),
+        encoder_preference=str(a.encoder),
+        decoder_preference=str(a.decoder),
+        batch_size=max(1, int(a.batch_size)),
+        engine_mode=str(a.engine_mode),
+        rng=str(a.rng),
+        seed=int(a.seed),
+        assoc_scan=bool(a.assoc_scan),
+    )
+    print("Hardware encoder used" if used_gpu else "CPU encoder used")
+    print(f"elapsed {time.perf_counter() - t0:.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -106,8 +106,12 @@ class CRTEngine:
         self.lut_exact = bool(lut_exact)
         self.assoc_scan = bool(assoc_scan)
         self._build_consts(text_rgba)
-        self._step_first = jax.jit(functools.partial(self._step, first=True))
-        self._step_cont = jax.jit(functools.partial(self._step, first=False))
+        # Constants (masks, warp tables, index maps) are passed as jit
+        # ARGUMENTS, not closure captures: captured arrays embed as HLO
+        # literals, which blows up compile time at 1080p+ (tens of MB of
+        # warp/triad tables). As parameters they stay resident in HBM
+        # across calls and the program compiles quickly.
+        self._jstep = jax.jit(self._step)
 
     # ------------------------------------------------------------------
     # Host-side constant tables (oracle is the single source of truth)
@@ -195,8 +199,8 @@ class CRTEngine:
     # Per-frame chain (vmapped over the batch axis)
     # ------------------------------------------------------------------
 
-    def _frame_chain(self, frame_u8: jax.Array, aux_row) -> jax.Array:
-        p, c, h, w = self.params, self._c, self.h, self.w
+    def _frame_chain(self, c: dict, frame_u8: jax.Array, aux_row) -> jax.Array:
+        p, h, w = self.params, self.h, self.w
         frame_idx, phase, flicker, noise, g_base, g_seg = aux_row
         img = frame_u8.astype(jnp.float32) / 255.0  # stage 1
 
@@ -298,33 +302,30 @@ class CRTEngine:
     # Batched step with persistence scan
     # ------------------------------------------------------------------
 
-    def _step(self, frames_u8, aux: FrameAux, state, *, first: bool):
-        imgs = jax.vmap(self._frame_chain)(frames_u8, aux)
+    def _step(self, frames_u8, aux: FrameAux, state, first_arr, c: dict):
+        imgs = jax.vmap(functools.partial(self._frame_chain, c))(frames_u8, aux)
         p = self.params
         if p.persistence_on:
             pp = np.float32(p.persistence)
             om = np.float32(1.0 - p.persistence)
+            first = first_arr[0]
 
             def blend(prev, cur):
                 b = jnp.clip(pp * prev + om * cur, 0.0, 1.0)
                 return b, b
 
-            if first:
-                # First frame of the stream has no previous state: it passes
-                # through unblended (crt_filter.py:1094-1095).
-                state0 = imgs[0]
-                if self.assoc_scan:
-                    rest = self._assoc_persistence(imgs[1:], state0)
-                    new_state = rest[-1] if rest.shape[0] else state0
-                else:
-                    new_state, rest = jax.lax.scan(blend, state0, imgs[1:])
-                outs = jnp.concatenate([imgs[:1], rest], axis=0)
+            # First frame of a stream has no previous state: it passes
+            # through unblended (crt_filter.py:1094-1095). `first` is a
+            # traced flag so one compiled program serves both cases.
+            out0 = jnp.where(
+                first, imgs[0], jnp.clip(pp * state + om * imgs[0], 0.0, 1.0)
+            )
+            if self.assoc_scan:
+                rest = self._assoc_persistence(imgs[1:], out0)
             else:
-                if self.assoc_scan:
-                    outs = self._assoc_persistence(imgs, state)
-                    new_state = outs[-1]
-                else:
-                    new_state, outs = jax.lax.scan(blend, state, imgs)
+                _, rest = jax.lax.scan(blend, out0, imgs[1:])
+            outs = jnp.concatenate([out0[None], rest], axis=0)
+            new_state = outs[-1]
         else:
             outs = imgs
             new_state = imgs[-1]
@@ -428,10 +429,14 @@ class CRTEngine:
         if frame_indices is None:
             frame_indices = np.arange(b)
         aux = self.make_aux(np.asarray(frame_indices))
-        if state is None:
-            return self._step_first(frames_u8, aux, self.init_state())
-        return self._step_cont(frames_u8, aux, state)
+        first = state is None
+        if first:
+            state = self.init_state()
+        return self._jstep(
+            frames_u8, aux, state, jnp.full((1,), first, jnp.bool_), self._c
+        )
 
-    def jitted_step(self, first: bool = False):
-        """Expose the compiled step function (for benchmarking/sharding)."""
-        return self._step_first if first else self._step_cont
+    def jitted_step(self):
+        """The compiled step (frames, aux, state, first_arr, consts) ->
+        (out_u8, state) — for benchmarking and sharded wrappers."""
+        return self._jstep

@@ -1,0 +1,393 @@
+"""Host media I/O: decode, encode, codec selection, capability probes.
+
+TPUs have no video codec blocks (SURVEY.md §2.2), so codecs stay on the
+host — as in the reference, which delegates to ffmpeg/OpenCV binaries
+(crt_filter.py:469-529 raw reader, :938-1014 codec selection). Two
+backends, probed at runtime with tier-by-tier fallback (the reference's
+probe-and-fallback semantics, :141-204, :1024-1032):
+
+1. An ffmpeg executable (FFMPEG_BINARY env, imageio-ffmpeg, or PATH):
+   rawvideo pipes for zero-copy decode/encode, x264/NVENC/AMF parameter
+   mapping, audio extract/mux.
+2. OpenCV's built-in VideoCapture/VideoWriter (always present here):
+   video-only fallback; audio degrades to mute output exactly like the
+   reference's audio-failure path (crt_filter.py:934-935).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .. import perf
+
+
+# --------------------------------------------------------------------------
+# ffmpeg binary discovery + capability probes
+# --------------------------------------------------------------------------
+
+def find_ffmpeg() -> Optional[str]:
+    cand = os.environ.get("FFMPEG_BINARY")
+    if cand and os.path.isfile(cand):
+        return cand
+    try:
+        import imageio_ffmpeg
+
+        return imageio_ffmpeg.get_ffmpeg_exe()
+    except Exception:
+        pass
+    return shutil.which("ffmpeg")
+
+
+def _probe_encoder(codec: str) -> bool:
+    """Tiny lavfi test encode to the null muxer; returncode 0 => usable
+    (the reference's runtime probe pattern, crt_filter.py:141-204)."""
+    exe = find_ffmpeg()
+    if not exe:
+        return False
+    try:
+        cmd = [
+            exe, "-hide_banner", "-loglevel", "error",
+            "-f", "lavfi", "-i", "color=c=black:s=16x16:d=0.05",
+            "-c:v", codec, "-f", "null", "-",
+        ]
+        return subprocess.run(cmd, capture_output=True).returncode == 0
+    except Exception:
+        return False
+
+
+def can_use_nvenc() -> bool:
+    return _probe_encoder("h264_nvenc")
+
+
+def can_use_amf() -> bool:
+    return _probe_encoder("h264_amf")
+
+
+def normalize_nvenc_preset(preset: str) -> str:
+    """Map p1..p7 to legacy NVENC preset tokens; pass legacy names through;
+    fall back to 'medium' (crt_filter.py:103-138)."""
+    p = (preset or "").strip().lower()
+    legacy = {
+        "default", "slow", "medium", "fast", "hp", "hq", "bd",
+        "ll", "llhq", "llhp", "lossless", "losslesshp",
+    }
+    if p in legacy:
+        return p
+    return {
+        "p1": "hp", "p2": "fast", "p3": "medium", "p4": "default",
+        "p5": "hq", "p6": "bd", "p7": "slow",
+    }.get(p, "medium")
+
+
+def map_decoder_to_hwaccel(pref: str) -> Optional[str]:
+    """Decoder preference -> ffmpeg -hwaccel token (crt_filter.py:517-529)."""
+    p = (pref or "auto").strip().lower()
+    return {"nvidia": "cuda", "amd": "dxva2", "intel": "d3d11va"}.get(p)
+
+
+def select_encoder(preference: str = "auto", gpu: bool = False) -> str:
+    """Codec choice with probe-verified hardware fallback to libx264
+    (crt_filter.py:938-953)."""
+    pref = (preference or "auto").strip().lower()
+    if pref == "nvidia":
+        return "h264_nvenc" if can_use_nvenc() else "libx264"
+    if pref == "amd":
+        return "h264_amf" if can_use_amf() else "libx264"
+    if pref == "cpu":
+        return "libx264"
+    if gpu and can_use_nvenc():
+        return "h264_nvenc"
+    if gpu and can_use_amf():
+        return "h264_amf"
+    return "libx264"
+
+
+def encoder_ffparams(
+    codec: str, crf: int, bitrate_kbps: int, nvenc_preset: str = "p4"
+) -> list[str]:
+    """Per-codec ffmpeg parameter block (crt_filter.py:956-1002)."""
+    kbps = int(max(0, bitrate_kbps or 0))
+    rate = ["-b:v", f"{kbps}k", "-maxrate", f"{kbps}k", "-bufsize", f"{kbps * 2}k"]
+    if codec == "h264_nvenc":
+        nv = normalize_nvenc_preset(nvenc_preset)
+        if kbps > 0:
+            return rate + ["-rc", "vbr", "-preset", nv, "-pix_fmt", "yuv420p"]
+        return ["-cq", str(crf), "-preset", nv, "-pix_fmt", "yuv420p"]
+    if codec == "h264_amf":
+        return (rate if kbps > 0 else []) + ["-pix_fmt", "yuv420p"]
+    if kbps > 0:
+        return rate + ["-pix_fmt", "yuv420p"]
+    return ["-crf", str(crf), "-pix_fmt", "yuv420p", "-preset", "medium"]
+
+
+# --------------------------------------------------------------------------
+# Probing clips
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ClipInfo:
+    width: int
+    height: int
+    fps: float
+    frame_count: int
+
+    @property
+    def duration(self) -> float:
+        return self.frame_count / self.fps if self.fps > 0 else 0.0
+
+
+def probe_clip(path: str | Path) -> ClipInfo:
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    try:
+        return ClipInfo(
+            width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            fps=float(cap.get(cv2.CAP_PROP_FPS) or 24.0),
+            frame_count=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        )
+    finally:
+        cap.release()
+
+
+# --------------------------------------------------------------------------
+# Readers
+# --------------------------------------------------------------------------
+
+class FFmpegRawReader:
+    """ffmpeg-subprocess decoder yielding (H, W, 3) RGB uint8 frames via a
+    rawvideo stdout pipe, with optional -hwaccel and fps/scale conversion
+    (reference FFmpegRawReader, crt_filter.py:469-514)."""
+
+    def __init__(self, src: str, out_w: int, out_h: int, fps: float,
+                 hwaccel: Optional[str] = None) -> None:
+        exe = find_ffmpeg()
+        if not exe:
+            raise RuntimeError("no ffmpeg binary available")
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        cmd = [exe, "-hide_banner", "-loglevel", "error"]
+        if hwaccel and hwaccel != "auto":
+            cmd += ["-hwaccel", hwaccel]
+        cmd += [
+            "-i", str(src),
+            "-vf", f"scale={self.out_w}:{self.out_h}",
+            "-r", str(fps),
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+        ]
+        self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                     stderr=subprocess.DEVNULL)
+
+    def iter_frames(self) -> Iterator[np.ndarray]:
+        nbytes = self.out_w * self.out_h * 3
+        buf = bytearray(nbytes)
+        assert self.proc.stdout is not None
+        readinto = self.proc.stdout.readinto
+        while True:
+            view, got = memoryview(buf), 0
+            while got < nbytes:
+                n = readinto(view[got:])
+                if not n:
+                    break
+                got += n
+            if got < nbytes:
+                return
+            yield np.frombuffer(bytes(buf), np.uint8).reshape(self.out_h, self.out_w, 3)
+
+    def close(self) -> None:
+        try:
+            if self.proc.stdout:
+                self.proc.stdout.close()
+            self.proc.terminate()
+        except Exception:
+            pass
+
+
+class CV2Reader:
+    """OpenCV decoder with nearest-timestamp fps resampling and on-read
+    resize; yields (H, W, 3) RGB uint8 frames."""
+
+    def __init__(self, src: str, out_w: int, out_h: int, fps: float) -> None:
+        import cv2
+
+        self._cv2 = cv2
+        self.cap = cv2.VideoCapture(str(src))
+        if not self.cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {src}")
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        self.src_fps = float(self.cap.get(cv2.CAP_PROP_FPS) or fps)
+        self.out_fps = float(fps)
+
+    def iter_frames(self) -> Iterator[np.ndarray]:
+        cv2 = self._cv2
+        src_i = -1
+        out_i = 0
+        frame = None
+        ratio = self.src_fps / self.out_fps
+        while True:
+            want = int(round(out_i * ratio))
+            while src_i < want:
+                ok, bgr = self.cap.read()
+                if not ok:
+                    return
+                src_i += 1
+                frame = bgr
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if rgb.shape[1] != self.out_w or rgb.shape[0] != self.out_h:
+                rgb = cv2.resize(rgb, (self.out_w, self.out_h),
+                                 interpolation=cv2.INTER_LINEAR)
+            yield np.ascontiguousarray(rgb)
+            out_i += 1
+
+    def close(self) -> None:
+        self.cap.release()
+
+
+def open_reader(
+    src: str, out_w: int, out_h: int, fps: float, decoder_preference: str = "auto"
+):
+    """Tier-by-tier reader selection: hwaccel ffmpeg -> plain ffmpeg ->
+    OpenCV (the reference's fallback-chain pattern, crt_filter.py:1024-1036)."""
+    accel = map_decoder_to_hwaccel(decoder_preference)
+    if find_ffmpeg():
+        try:
+            return FFmpegRawReader(src, out_w, out_h, fps, accel)
+        except Exception:
+            pass
+    return CV2Reader(src, out_w, out_h, fps)
+
+
+# --------------------------------------------------------------------------
+# Writers
+# --------------------------------------------------------------------------
+
+class FFmpegRawWriter:
+    """ffmpeg-subprocess encoder consuming RGB uint8 frames over a
+    rawvideo stdin pipe (the FFMPEG_VideoWriter role, crt_filter.py:1014)."""
+
+    def __init__(self, dst: str, w: int, h: int, fps: float, codec: str,
+                 ffparams: list[str], audio_path: Optional[str] = None) -> None:
+        exe = find_ffmpeg()
+        if not exe:
+            raise RuntimeError("no ffmpeg binary available")
+        cmd = [
+            exe, "-hide_banner", "-loglevel", "error", "-y",
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
+            "-r", str(fps), "-i", "-",
+        ]
+        if audio_path:
+            cmd += ["-i", audio_path, "-c:a", "aac", "-shortest"]
+        cmd += ["-c:v", codec] + list(ffparams) + [str(dst)]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                     stderr=subprocess.DEVNULL)
+
+    def write_frame(self, rgb_u8: np.ndarray) -> None:
+        assert self.proc.stdin is not None
+        self.proc.stdin.write(np.ascontiguousarray(rgb_u8).tobytes())
+
+    def close(self) -> None:
+        try:
+            if self.proc.stdin:
+                self.proc.stdin.close()
+            self.proc.wait(timeout=60)
+        except Exception:
+            pass
+
+
+class CV2Writer:
+    """OpenCV encoder fallback (mp4v/avc1), RGB in, video-only."""
+
+    def __init__(self, dst: str, w: int, h: int, fps: float) -> None:
+        import cv2
+
+        self._cv2 = cv2
+        self.writer = None
+        # silence codec-probe noise (failed fourccs log ERROR lines)
+        prev_level = None
+        try:
+            prev_level = cv2.utils.logging.getLogLevel()
+            cv2.utils.logging.setLogLevel(cv2.utils.logging.LOG_LEVEL_SILENT)
+        except Exception:
+            pass
+        try:
+            for fourcc in ("avc1", "mp4v", "MJPG"):
+                wtr = cv2.VideoWriter(str(dst), cv2.VideoWriter_fourcc(*fourcc),
+                                      float(fps), (int(w), int(h)))
+                if wtr.isOpened():
+                    self.writer = wtr
+                    break
+        finally:
+            if prev_level is not None:
+                try:
+                    cv2.utils.logging.setLogLevel(prev_level)
+                except Exception:
+                    pass
+        if self.writer is None:
+            raise RuntimeError(f"cv2.VideoWriter could not open {dst}")
+
+    def write_frame(self, rgb_u8: np.ndarray) -> None:
+        self.writer.write(self._cv2.cvtColor(rgb_u8, self._cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        self.writer.release()
+
+
+def open_writer(
+    dst: str, w: int, h: int, fps: float, *,
+    encoder_preference: str = "auto", gpu: bool = False, crf: int = 18,
+    bitrate_kbps: int = 0, nvenc_preset: str = "p4",
+    audio_path: Optional[str] = None,
+) -> tuple[object, bool]:
+    """Returns (writer, used_gpu)."""
+    if find_ffmpeg():
+        codec = select_encoder(encoder_preference, gpu)
+        params = encoder_ffparams(codec, crf, bitrate_kbps, nvenc_preset)
+        try:
+            return (
+                FFmpegRawWriter(dst, w, h, fps, codec, params, audio_path),
+                codec in ("h264_nvenc", "h264_amf"),
+            )
+        except Exception:
+            pass
+    return CV2Writer(dst, w, h, fps), False
+
+
+# --------------------------------------------------------------------------
+# Audio passthrough (ffmpeg-only; degrades to mute like the reference)
+# --------------------------------------------------------------------------
+
+def extract_audio(src: str | Path, tmp_dir: Optional[str] = None) -> Optional[str]:
+    """Extract the audio track to a temp AAC file (crt_filter.py:926-935);
+    returns None (mute output) if no ffmpeg or no/failed audio."""
+    exe = find_ffmpeg()
+    if not exe:
+        return None
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".aac", dir=tmp_dir)
+    os.close(fd)
+    try:
+        with perf.timed("io.audio_extract"):
+            res = subprocess.run(
+                [exe, "-hide_banner", "-loglevel", "error", "-y", "-i", str(src),
+                 "-vn", "-c:a", "aac", "-b:a", "128k", "-ar", "44100", path],
+                capture_output=True,
+            )
+        if res.returncode == 0 and os.path.getsize(path) > 0:
+            return path
+    except Exception:
+        pass
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+    return None

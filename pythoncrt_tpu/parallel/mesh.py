@@ -1,0 +1,215 @@
+"""Multi-chip sharding (jax.sharding + shard_map over a device Mesh).
+
+The reference's only parallelism is a 2-worker host thread pool over
+frames with in-order drain (crt_filter.py:1015-1017, :1081-1131). Here
+the same two axes scale across TPU chips over ICI (SURVEY.md §2.3):
+
+- **Frame-axis DP** (single clip): the batch axis is sharded across the
+  mesh. Every stage is frame-local except the persistence IIR
+  s_t = p*s_{t-1} + (1-p)*x_t. Each shard reduces its chunk to the pair
+  (A_i, b_i) = (p^{n_i}, local-scan final with zero init); an all_gather
+  of these per-shard summaries (one frame per shard — the only
+  collective in the pipeline) lets every shard compute its incoming
+  carry by the affine composition (A2*A1, A2*b1 + b2), then correct its
+  local outputs as y_t + p^(t+1) * carry_in. Exactly the ring/context-
+  parallel treatment of a linear recurrence, in one shard_map.
+
+- **Clip-axis DP** (batch renders): clips are independent streams —
+  shard the clip axis, zero collectives (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine import CRTEngine, FrameAux
+from ..ops import color as ocolor
+
+FRAME_AXIS = "frames"
+CLIP_AXIS = "clips"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = FRAME_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+class ShardedCRTEngine:
+    """Frame-axis data-parallel wrapper around a CRTEngine.
+
+    process(frames, indices, state) shards the batch across the mesh;
+    batch size must be a multiple of the mesh size. The persistence
+    carry crosses shard boundaries via one all_gather of per-shard
+    (A, b) summaries (H*W*3 floats per shard).
+    """
+
+    def __init__(self, engine: CRTEngine, mesh: Optional[Mesh] = None) -> None:
+        self.engine = engine
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ndev = self.mesh.devices.size
+        p = engine.params
+        self._persist = p.persistence_on
+        self._pp = np.float32(p.persistence)
+        self._om = np.float32(1.0 - p.persistence)
+        self._build()
+
+    def _build(self) -> None:
+        eng = self.engine
+        pp, om, persist = self._pp, self._om, self._persist
+        axis = FRAME_AXIS
+
+        def local_block(frames_u8, aux, state, first_arr, c):
+            """Runs per shard. state/first/consts replicated; frames/aux sharded."""
+            imgs = jax.vmap(lambda f, a: eng._frame_chain(c, f, a))(frames_u8, aux)
+            if not persist:
+                return ocolor.to_uint8(imgs), imgs[-1]
+
+            my = jax.lax.axis_index(axis)
+            n_local = imgs.shape[0]
+            first = first_arr[0]
+
+            # Local zero-init scan: y_t, plus p^(t+1) factors.
+            def blend0(prev, cur):
+                b = pp * prev + om * cur
+                return b, b
+
+            y_last, y = jax.lax.scan(blend0, jnp.zeros_like(imgs[0]), imgs)
+            tpow = pp ** jnp.arange(1, n_local + 1, dtype=jnp.float32)
+
+            # Per-shard summary pair: A_i = p^n_local, b_i = y_last.
+            A_i = jnp.float32(pp**n_local)
+            b_all = jax.lax.all_gather(y_last, axis)  # (ndev, H, W, 3)
+            A_all = jax.lax.all_gather(A_i, axis)  # (ndev,)
+
+            # First-frame-of-stream semantics (crt_filter.py:1094-1095):
+            # no previous state means frame 0 passes through unblended,
+            # which equals carrying s_{-1} = x_0 (the GLOBAL first frame,
+            # i.e. shard 0's), reconstructed from y_0 = (1-p) * x_0 and
+            # gathered so every shard agrees on the stream head.
+            x0_global = jax.lax.all_gather(y[0], axis)[0] / om
+            s_init = jnp.where(first, x0_global, state)
+
+            # Exclusive affine combine over shards j < my (static loop).
+            carry = s_init
+            for j in range(self.ndev):
+                upd = A_all[j] * carry + b_all[j]
+                carry = jnp.where(j < my, upd, carry)
+
+            outs = jnp.clip(y + tpow[:, None, None, None] * carry, 0.0, 1.0)
+            # Replicated new state: full combine over all shards.
+            full = s_init
+            for j in range(self.ndev):
+                full = A_all[j] * full + b_all[j]
+            new_state = jnp.clip(full, 0.0, 1.0)
+            return ocolor.to_uint8(outs), new_state
+
+        in_specs = (
+            P(axis),  # frames
+            FrameAux(
+                frame_idx=P(axis),
+                phase=P(axis),
+                flicker=P(axis),
+                noise=P(axis) if self._aux_has("noise") else None,
+                glitch_base=P(axis) if self._aux_has("glitch_base") else None,
+                glitch_seg=P(axis) if self._aux_has("glitch_seg") else None,
+            ),
+            P(),  # state (replicated)
+            P(),  # first flag (replicated)
+            jax.tree.map(lambda _: P(), eng._c),  # consts (replicated)
+        )
+        out_specs = (P(axis), P())
+        self._step = jax.jit(
+            jax.shard_map(
+                local_block, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
+            )
+        )
+
+    def _aux_has(self, field: str) -> bool:
+        eng, p = self.engine, self.engine.params
+        if eng.rng != "host":
+            return False
+        if field == "noise":
+            return p.noise_on
+        if field == "glitch_base":
+            return p.glitch_on and eng._glitch_rows > 0
+        if field == "glitch_seg":
+            return (
+                p.glitch_on and eng._glitch_rows > 0 and eng.engine == "export"
+            )
+        return False
+
+    def process(self, frames_u8, frame_indices=None, state=None):
+        frames_u8 = jnp.asarray(frames_u8)
+        b = frames_u8.shape[0]
+        if b % self.ndev != 0:
+            raise ValueError(f"batch {b} not divisible by mesh size {self.ndev}")
+        if frame_indices is None:
+            frame_indices = np.arange(b)
+        aux = self.engine.make_aux(np.asarray(frame_indices))
+        first = state is None
+        if first:
+            state = self.engine.init_state()
+        first_arr = jnp.full((1,), first, jnp.bool_)
+        out, new_state = self._step(frames_u8, aux, state, first_arr, self.engine._c)
+        return out, new_state
+
+
+class MultiClipEngine:
+    """Clip-axis data parallelism: C independent clips, one per shard
+    group, no collectives (BASELINE.json config 5).
+
+    process(frames (C, B, H, W, 3), indices (C, B), states (C, H, W, 3))
+    """
+
+    def __init__(self, engine: CRTEngine, mesh: Optional[Mesh] = None) -> None:
+        self.engine = engine
+        self.mesh = mesh if mesh is not None else make_mesh(axis=CLIP_AXIS)
+        self.ndev = self.mesh.devices.size
+        if engine.rng == "host" and (engine.params.noise_on or engine.params.glitch_on):
+            raise ValueError("MultiClipEngine supports rng='native' only")
+        axis = CLIP_AXIS
+        not_first = jnp.zeros((1,), jnp.bool_)
+
+        def per_shard(frames, aux, states, c):
+            return jax.vmap(
+                lambda f, a, s: engine._step(f, a, s, not_first, c)
+            )(frames, aux, states)
+
+        self._step = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(
+                    P(axis),
+                    FrameAux(P(axis), P(axis), P(axis), None, None, None),
+                    P(axis),
+                    jax.tree.map(lambda _: P(), engine._c),
+                ),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
+            )
+        )
+
+    def process(self, frames_u8, frame_indices, states=None):
+        frames_u8 = jnp.asarray(frames_u8)
+        c, b = frames_u8.shape[0], frames_u8.shape[1]
+        if c % self.ndev != 0:
+            raise ValueError(f"clip count {c} not divisible by mesh size {self.ndev}")
+        idx = np.asarray(frame_indices)
+        aux_rows = [self.engine.make_aux(idx[i]) for i in range(c)]
+        aux = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_rows)
+        if states is None:
+            # zero-state warmup: callers seed each clip's stream with its
+            # first processed frame (see tests) or accept the convex
+            # self-blend approximation on frame 0.
+            states = jnp.zeros((c, self.engine.h, self.engine.w, 3), jnp.float32)
+        return self._step(frames_u8, aux, states, self.engine._c)

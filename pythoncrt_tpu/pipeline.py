@@ -1,0 +1,175 @@
+"""Video render pipeline: decode -> device batches -> encode.
+
+The reference's per-frame thread pool with in-order drain
+(crt_filter.py:864-1150) becomes a host pipeline around one jitted
+batched device step:
+
+  decode thread -> bounded batch queue -> device step (async dispatch,
+  persistence carry chained on device) -> async device->host copy ->
+  encode thread
+
+JAX's async dispatch overlaps the TPU compute of batch N with the host
+decode of batch N+1 and the encode of batch N-1, so the device never
+stalls on I/O (BASELINE.json north star). The persistence IIR lives
+inside the device step; the host only threads the carry array through.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+import time
+from pathlib import Path
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from . import perf
+from .engine import CRTEngine
+from .io import video as vio
+from .params import EffectParams, TextParams
+from .text import overlay_for
+
+DEFAULT_BATCH = 16
+
+
+def _feeder(reader, batch_size: int, out_q: queue.Queue, stop: threading.Event) -> None:
+    """Decode thread: accumulate frames into (B, H, W, 3) batches."""
+    try:
+        buf, idx0, n = [], 0, 0
+        for frame in perf.timed_iter(reader.iter_frames(), "io.decode"):
+            if stop.is_set():
+                break
+            buf.append(frame)
+            n += 1
+            if len(buf) == batch_size:
+                out_q.put((idx0, np.stack(buf)))
+                idx0, buf = n, []
+        if buf and not stop.is_set():
+            out_q.put((idx0, np.stack(buf)))
+    finally:
+        out_q.put(None)
+
+
+def _writer_loop(writer, in_q: queue.Queue, progress, total_frames: int) -> None:
+    written = 0
+    while True:
+        item = in_q.get()
+        if item is None:
+            break
+        with perf.timed("io.encode"):
+            for frame in item:
+                writer.write_frame(frame)
+                written += 1
+        if progress is not None and total_frames > 0:
+            progress(min(1.0, written / float(total_frames)))
+
+
+def process_video(
+    input_path: str | Path,
+    output_path: str | Path,
+    params: EffectParams,
+    *,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+    fps: Optional[float] = None,
+    crf: int = 18,
+    target_bitrate_kbps: int = 0,
+    gpu: bool = False,
+    nvenc_preset: str = "p4",
+    encoder_preference: str = "auto",
+    decoder_preference: str = "auto",
+    batch_size: int = DEFAULT_BATCH,
+    engine_mode: str = "export",
+    rng: str = "native",
+    seed: int = 0,
+    assoc_scan: bool = False,
+    progress_cb: Optional[Callable[[float], None]] = None,
+    report: bool = True,
+) -> bool:
+    """Render ``input_path`` through the effect chain to ``output_path``.
+
+    Parameter semantics mirror reference process_video (crt_filter.py:864-912):
+    width/height/fps of None/0 keep the source values; returns used_gpu.
+    """
+    input_path, output_path = Path(input_path), Path(output_path)
+    info = vio.probe_clip(input_path)
+    out_w = int(width) if width else info.width
+    out_h = int(height) if height else info.height
+    fps_out = float(fps) if fps and fps > 0 else (info.fps or 24.0)
+    total_frames = max(1, int(math.ceil(info.duration * fps_out)))
+
+    perf.perf_reset()
+    t_start = time.perf_counter()
+
+    audio_path = vio.extract_audio(input_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+
+    text_rgba = overlay_for(out_w, out_h, params.text)
+    with perf.timed("fx.compile"):
+        eng = CRTEngine(
+            params, out_h, out_w, fps_out,
+            engine=engine_mode, rng=rng, seed=seed,
+            text_rgba=text_rgba, assoc_scan=assoc_scan,
+        )
+
+    reader = vio.open_reader(str(input_path), out_w, out_h, fps_out, decoder_preference)
+    writer, used_gpu = vio.open_writer(
+        str(output_path), out_w, out_h, fps_out,
+        encoder_preference=encoder_preference, gpu=gpu, crf=crf,
+        bitrate_kbps=target_bitrate_kbps, nvenc_preset=nvenc_preset,
+        audio_path=audio_path,
+    )
+
+    decode_q: queue.Queue = queue.Queue(maxsize=4)
+    encode_q: queue.Queue = queue.Queue(maxsize=4)
+    stop = threading.Event()
+    t_dec = threading.Thread(target=_feeder, args=(reader, batch_size, decode_q, stop), daemon=True)
+    t_enc = threading.Thread(
+        target=_writer_loop, args=(writer, encode_q, progress_cb, total_frames), daemon=True
+    )
+    t_dec.start()
+    t_enc.start()
+
+    frames_done = 0
+    state = None
+    pending = None  # device batch in flight
+    try:
+        while True:
+            item = decode_q.get()
+            if item is None:
+                break
+            idx0, batch = item
+            with perf.timed("fx.dispatch"):
+                out_dev, state = eng.process(
+                    batch, np.arange(idx0, idx0 + batch.shape[0]), state=state
+                )
+                out_dev.copy_to_host_async()
+            if pending is not None:
+                with perf.timed("fx.device_wait"):
+                    encode_q.put(np.asarray(pending))
+            pending = out_dev
+            frames_done += batch.shape[0]
+        if pending is not None:
+            with perf.timed("fx.device_wait"):
+                encode_q.put(np.asarray(pending))
+    finally:
+        stop.set()
+        encode_q.put(None)
+        t_enc.join(timeout=120)
+        reader.close()
+        writer.close()
+        if audio_path:
+            try:
+                os.unlink(audio_path)
+            except OSError:
+                pass
+
+    total_seconds = time.perf_counter() - t_start
+    if report:
+        perf.perf_report(total_frames=frames_done, total_seconds=total_seconds)
+    if progress_cb is not None:
+        progress_cb(1.0)
+    return used_gpu

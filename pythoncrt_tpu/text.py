@@ -1,0 +1,108 @@
+"""Host-side text overlay rasterization.
+
+The overlay is rasterized ONCE per (text, font, size, color, position)
+configuration into an RGBA uint8 array, uploaded to the device as a
+constant, and composited on-device inside the fused effect chain —
+unlike the reference, which re-rasterizes every frame on the render path
+(crt_filter.py:1076).
+
+Font resolution mirrors the reference's PIL path (crt_filter.py:366-414):
+explicit .ttf/.otf path -> known family map in the system font dirs ->
+<family>.ttf -> arial.ttf -> PIL builtin default. (The reference's Qt
+rasterizer, :417-466, is a GUI-only alternate; the PIL path is the
+canonical export-path rasterizer here.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .params import TextParams
+
+_FAMILY_FILES = {
+    "arial": "arial.ttf",
+    "segoe ui": "segoeui.ttf",
+    "consolas": "consola.ttf",
+    "tahoma": "tahoma.ttf",
+    "times new roman": "times.ttf",
+    "courier new": "cour.ttf",
+    "dejavu sans": "DejaVuSans.ttf",
+    "dejavu sans mono": "DejaVuSansMono.ttf",
+    "liberation sans": "LiberationSans-Regular.ttf",
+}
+
+_FONT_DIRS = (
+    os.path.join(os.environ.get("WINDIR", "C:\\Windows"), "Fonts"),
+    "/usr/share/fonts/truetype/dejavu",
+    "/usr/share/fonts/truetype/liberation",
+    "/usr/share/fonts/truetype",
+    "/usr/share/fonts",
+    "/Library/Fonts",
+)
+
+
+def parse_hex_color(s: str) -> Tuple[int, int, int]:
+    """#RRGGBB -> (r, g, b); anything unparsable -> white (crt_filter.py:351-363)."""
+    try:
+        st = s.strip().lstrip("#")
+        if len(st) == 6:
+            return int(st[0:2], 16), int(st[2:4], 16), int(st[4:6], 16)
+    except Exception:
+        pass
+    return 255, 255, 255
+
+
+def _resolve_font(font_family: str, size: int):
+    from PIL import ImageFont
+
+    if font_family and os.path.isfile(font_family):
+        try:
+            return ImageFont.truetype(font_family, size)
+        except Exception:
+            pass
+    fam = (font_family or "").lower()
+    candidates = []
+    for d in _FONT_DIRS:
+        if fam in _FAMILY_FILES:
+            candidates.append(os.path.join(d, _FAMILY_FILES[fam]))
+        if fam:
+            candidates.append(os.path.join(d, f"{fam}.ttf"))
+    candidates.append("arial.ttf")
+    candidates.append("DejaVuSans.ttf")
+    for path in candidates:
+        try:
+            if os.path.sep not in path or os.path.isfile(path):
+                return ImageFont.truetype(path, size)
+        except Exception:
+            continue
+    return ImageFont.load_default()
+
+
+def rasterize_text(w: int, h: int, t: TextParams) -> np.ndarray:
+    """Render ``t`` into an (h, w, 4) RGBA uint8 canvas (transparent
+    background). Empty text returns an all-zero canvas."""
+    if not t.text:
+        return np.zeros((h, w, 4), dtype=np.uint8)
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+    draw = ImageDraw.Draw(img)
+    font = _resolve_font(t.font, int(t.size))
+    r, g, b = parse_hex_color(t.color)
+    draw.text((int(t.x), int(t.y)), t.text, font=font, fill=(r, g, b, 255))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def overlay_for(
+    w: int, h: int, t: TextParams, _cache: dict = {}
+) -> Optional[np.ndarray]:
+    """Cached rasterization keyed by the full text config + canvas size."""
+    if not t.enabled:
+        return None
+    key = (w, h, t)
+    if key not in _cache:
+        _cache[key] = rasterize_text(w, h, t)
+    return _cache[key]

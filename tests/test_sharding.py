@@ -1,0 +1,107 @@
+"""Multi-chip sharding tests on an 8-device virtual CPU mesh
+(SURVEY.md §4 item 5): sharded-batch parity with the single-device
+engine, persistence carry handoff across shard boundaries, and
+clip-axis independence."""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import synth_frames
+from pythoncrt_tpu import CRTEngine, EffectParams
+from pythoncrt_tpu.parallel import MultiClipEngine, ShardedCRTEngine, make_mesh
+
+H, W, FPS = 48, 64, 24.0
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def u8diff(a, b):
+    return np.abs(np.asarray(a).astype(np.int32) - np.asarray(b).astype(np.int32)).max()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+class TestFrameSharding:
+    def test_stateless_parity(self, mesh):
+        frames = synth_frames(16, H, W)
+        p = EffectParams(persistence=0.0, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        ref, _ = eng.process(frames)
+        sh = ShardedCRTEngine(eng, mesh)
+        got, _ = sh.process(frames)
+        assert u8diff(got, ref) == 0
+
+    def test_persistence_carry_across_shards(self, mesh):
+        frames = synth_frames(16, H, W, seed=5)
+        p = EffectParams(persistence=0.7, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        ref, ref_state = eng.process(frames)
+        sh = ShardedCRTEngine(eng, mesh)
+        got, got_state = sh.process(frames)
+        assert u8diff(got, ref) <= 1
+        np.testing.assert_allclose(
+            np.asarray(got_state), np.asarray(ref_state), atol=1e-4
+        )
+
+    def test_state_chains_between_sharded_batches(self, mesh):
+        frames = synth_frames(32, H, W, seed=9)
+        p = EffectParams(persistence=0.9, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        ref, _ = eng.process(frames)
+        sh = ShardedCRTEngine(eng, mesh)
+        o1, s = sh.process(frames[:16], np.arange(16))
+        o2, _ = sh.process(frames[16:], np.arange(16, 32), state=s)
+        got = np.concatenate([np.asarray(o1), np.asarray(o2)])
+        assert u8diff(got, np.asarray(ref)) <= 1
+
+    def test_high_persistence_long_chain(self, mesh):
+        # stress the affine composition accuracy at p near the clamp max
+        frames = synth_frames(24, H, W, seed=11)
+        p = EffectParams(persistence=0.95, noise_strength=0.0, scanline_strength=0.3)
+        eng = CRTEngine(p, H, W, FPS)
+        ref, _ = eng.process(frames)
+        sh = ShardedCRTEngine(eng, mesh)
+        got, _ = sh.process(frames)
+        assert u8diff(got, ref) <= 1
+
+    def test_rejects_indivisible_batch(self, mesh):
+        eng = CRTEngine(EffectParams(), H, W, FPS)
+        sh = ShardedCRTEngine(eng, mesh)
+        with pytest.raises(ValueError):
+            sh.process(synth_frames(10, H, W))
+
+    def test_output_sharding_layout(self, mesh):
+        frames = synth_frames(8, H, W)
+        eng = CRTEngine(EffectParams(persistence=0.0, noise_strength=0.0), H, W, FPS)
+        sh = ShardedCRTEngine(eng, mesh)
+        out, _ = sh.process(frames)
+        # output stays sharded across the frame axis (no gather at encode)
+        assert len(out.sharding.device_set) == 8
+
+
+class TestClipSharding:
+    def test_clips_match_independent_renders(self):
+        mesh = make_mesh(8, axis="clips")
+        p = EffectParams(persistence=0.5, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        clips = np.stack([synth_frames(4, H, W, seed=i) for i in range(8)])
+        idx = np.tile(np.arange(4), (8, 1))
+        mc = MultiClipEngine(eng, mesh)
+        got, states = mc.process(clips, idx)
+        got = np.asarray(got)
+        for i in range(8):
+            # reference: single-engine continuation from a zero state
+            ref, _ = eng.process(clips[i], np.arange(4), state=eng.init_state())
+            assert u8diff(got[i], ref) == 0
+
+    def test_rejects_host_rng(self):
+        mesh = make_mesh(8, axis="clips")
+        eng = CRTEngine(EffectParams(), H, W, FPS, rng="host")
+        with pytest.raises(ValueError):
+            MultiClipEngine(eng, mesh)
