@@ -27,6 +27,11 @@ import numpy as np
 
 from .. import perf
 
+# Failed fourcc probes (e.g. avc1 -> missing h264_v4l2m2m) make libav log
+# ERROR lines through OpenCV's FFMPEG backend; quiet them unless the user
+# already configured a level.
+os.environ.setdefault("OPENCV_FFMPEG_LOGLEVEL", "-8")
+
 
 # --------------------------------------------------------------------------
 # ffmpeg binary discovery + capability probes
