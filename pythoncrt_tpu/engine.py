@@ -90,12 +90,15 @@ class CRTEngine:
         text_rgba: Optional[np.ndarray] = None,
         lut_exact: bool = True,
         assoc_scan: bool = False,
+        pallas: str = "auto",
         interpret: bool = False,
     ) -> None:
         if engine not in ("export", "preview"):
             raise ValueError(f"engine must be 'export' or 'preview', got {engine!r}")
         if rng not in ("native", "host"):
             raise ValueError(f"rng must be 'native' or 'host', got {rng!r}")
+        if pallas not in ("auto", "on", "off"):
+            raise ValueError(f"pallas must be auto/on/off, got {pallas!r}")
         p = params.clamped()
         self.params = p
         self.h, self.w = int(height), int(width)
@@ -105,6 +108,8 @@ class CRTEngine:
         self.seed = int(seed)
         self.lut_exact = bool(lut_exact)
         self.assoc_scan = bool(assoc_scan)
+        self._interpret = bool(interpret)
+        self._resolve_pallas(pallas)
         self._build_consts(text_rgba)
         # Constants (masks, warp tables, index maps) are passed as jit
         # ARGUMENTS, not closure captures: captured arrays embed as HLO
@@ -112,6 +117,37 @@ class CRTEngine:
         # warp/triad tables). As parameters they stay resident in HBM
         # across calls and the program compiles quickly.
         self._jstep = jax.jit(self._step)
+
+    # ------------------------------------------------------------------
+    # Pallas kernel selection
+    # ------------------------------------------------------------------
+
+    def _resolve_pallas(self, mode: str) -> None:
+        """Decide per hot op whether the hand-written Pallas kernel or the
+        XLA fallback runs. XLA lowers the warp/glitch gathers to scalar
+        loops on TPU (measured 31/13 ms per 1080p frame), so the kernels
+        are on by default on TPU; CPU keeps the XLA path (tests exercise
+        the kernels in interpret mode explicitly)."""
+        p = self.params
+        if mode == "off":
+            enabled = False
+        elif mode == "on":
+            enabled = True
+        else:
+            enabled = self._interpret or jax.default_backend() == "tpu"
+        shape_ok = self.h % 8 == 0 and self.w % 128 == 0
+        self._pallas_warp = bool(enabled and p.warp_on and shape_ok)
+        glitch_ok = False
+        if p.glitch_on:
+            from . import oracle as _o
+
+            y0, rows = _o.glitch_rows(self.h, p.glitch_height_frac)
+            glitch_ok = rows > 0 and self.w % 128 == 0 and y0 - ((-rows) % 8) >= 0
+        self._pallas_glitch = bool(enabled and glitch_ok)
+        if self._pallas_warp:
+            from .kernels import warp as _kw
+
+            self._warp_tables = _kw.build_warp_tables(self.h, self.w, p.warp_strength)
 
     # ------------------------------------------------------------------
     # Host-side constant tables (oracle is the single source of truth)
@@ -270,40 +306,81 @@ class CRTEngine:
             field = field * np.float32(p.noise_strength / 255.0)
             img = jnp.clip(img + field[:, :, None], 0.0, 1.0)
 
-        if p.warp_on:  # stage 12
-            img = owarp.bilinear_gather_const0(img, *c["warp"])
+        # stages 12-14 (warp, text-after, glitch) run at batch level in
+        # _batch_effects so the Pallas kernels see whole batches.
+        return img
 
-        if self._has_text and p.text.after:  # stage 13
-            img = ocolor.composite_text(img, c["text_alpha"], c["text_rgb"])
+    def _glitch_seg_offsets(self, frame_idx, g_base, g_seg, c):
+        """Per-frame glitch offsets at segment granularity: (rows, S)
+        export / (rows, 1) preview. base + seg is constant within a
+        segment, so per-segment values fully determine the per-pixel map
+        (via the static segment index) and per-segment rint equals the
+        reference's per-pixel rint (crt_filter.py:853-855)."""
+        rows = self._glitch_rows
+        amp = c["glitch_amp"]
+        if self.engine == "preview":
+            if g_base is None:
+                key = jax.random.fold_in(self._base_key, frame_idx)
+                offs = oglitch.native_preview_offsets(jax.random.fold_in(key, 14), rows, amp)
+            else:
+                offs = g_base
+            return offs[:, None]  # (rows, 1)
+        if g_base is None or g_seg is None:
+            key = jax.random.fold_in(self._base_key, frame_idx)
+            base, seg = oglitch.native_export_fields(
+                jax.random.fold_in(key, 14), rows, self._glitch_num_segs, amp
+            )
+        else:
+            base, seg = g_base, g_seg
+        return base[:, None] + seg  # (rows, S)
+
+    def _batch_effects(self, frames_u8, aux: FrameAux, c: dict):
+        """Full stateless chain over a batch: vmapped per-frame stages
+        1-11, then batch-level warp/text/glitch (stages 12-14) through
+        the Pallas kernels (or XLA fallbacks)."""
+        p = self.params
+        imgs = jax.vmap(functools.partial(self._frame_chain, c))(frames_u8, aux)
+
+        if p.warp_on:  # stage 12
+            if self._pallas_warp:
+                from .kernels import warp as _kw
+
+                imgs = _kw.warp_nhwc(imgs, self._warp_tables, self._interpret)
+            else:
+                imgs = jax.vmap(
+                    lambda im: owarp.bilinear_gather_const0(im, *c["warp"])
+                )(imgs)
+
+        if self._has_text and p.text.after:  # stage 13 (broadcasts over B)
+            imgs = ocolor.composite_text(imgs, c["text_alpha"], c["text_rgb"])
 
         if p.glitch_on and self._glitch_rows > 0:  # stage 14
-            rows = self._glitch_rows
-            amp = c["glitch_amp"]
-            if self.engine == "preview":
-                if g_base is None:
-                    key = jax.random.fold_in(self._base_key, frame_idx)
-                    offs = oglitch.native_preview_offsets(jax.random.fold_in(key, 14), rows, amp)
-                else:
-                    offs = g_base
-            else:
-                if g_base is None or g_seg is None:
-                    key = jax.random.fold_in(self._base_key, frame_idx)
-                    base, seg = oglitch.native_export_fields(
-                        jax.random.fold_in(key, 14), rows, self._glitch_num_segs, amp
-                    )
-                else:
-                    base, seg = g_base, g_seg
-                offs = oglitch.export_offsets(base, seg, c["glitch_seg_index"])
-            img = oglitch.shear_band(img, self._glitch_y0, offs)
+            seg_offs = jax.vmap(
+                lambda fi, gb, gs: self._glitch_seg_offsets(fi, gb, gs, c)
+            )(aux.frame_idx, aux.glitch_base, aux.glitch_seg)  # (B, rows, S)
+            if self._pallas_glitch:
+                from .kernels import glitch as _kg
 
-        return img
+                seg_len = self.w if self.engine == "preview" else self._glitch_seg_len
+                imgs = _kg.shear_band_batched(
+                    imgs, self._glitch_y0, seg_offs, seg_len, self._interpret
+                )
+            else:
+                if self.engine == "preview":
+                    per_px = seg_offs[:, :, 0]
+                else:
+                    per_px = jnp.take(seg_offs, c["glitch_seg_index"], axis=2)
+                imgs = jax.vmap(
+                    lambda im, o: oglitch.shear_band(im, self._glitch_y0, o)
+                )(imgs, per_px)
+        return imgs
 
     # ------------------------------------------------------------------
     # Batched step with persistence scan
     # ------------------------------------------------------------------
 
     def _step(self, frames_u8, aux: FrameAux, state, first_arr, c: dict):
-        imgs = jax.vmap(functools.partial(self._frame_chain, c))(frames_u8, aux)
+        imgs = self._batch_effects(frames_u8, aux, c)
         p = self.params
         if p.persistence_on:
             pp = np.float32(p.persistence)

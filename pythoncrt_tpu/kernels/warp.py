@@ -1,0 +1,304 @@
+"""Pallas TPU kernel for the barrel-warp bilinear resample.
+
+XLA lowers arbitrary-index gathers to scalar loops on TPU (~31 ms per
+1080p frame, measured) — the single biggest cost in the chain. This
+kernel exploits the structure of the warp map instead: it is *static*
+and *smooth*, so per output tile the input region is a bounded window
+and the tap displacements span only a few values.
+
+Per (TY x TX) output tile:
+  1. DMA the (BY x WX) aligned input window per channel into VMEM,
+     double-buffered across grid programs (origins via scalar prefetch);
+  2. one dynamic lane-slice removes the 128-alignment offset, leaving
+     displacements in [0, D) where D is the *derivative* span of the
+     map across a tile (~12 at strength 0.15, measured from the map);
+  3. horizontal taps resolve as a static delta-loop of masked
+     multiply-adds on the VPU: C[d, j] = sum_delta q[delta, j] *
+     win[d, j+delta] — q carries the exact bilinear x-weights;
+  4. vertical taps resolve with an iota-compare band select.
+
+All weights are the oracle's bilinear weights with out-of-bounds taps
+zeroed (BORDER_CONSTANT 0, crt_filter.py:347); every product either
+matches the oracle's or adds an exact zero, so results agree to f32
+rounding order (<= a few ulps).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..oracle.engine import barrel_warp_maps
+
+TY = 8  # output tile rows (f32 sublane quantum)
+TX = 128  # output tile cols (lane quantum)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class WarpTables:
+    """Host-precomputed static tables for one (H, W, strength)."""
+
+    h: int
+    w: int
+    byp: int  # VMEM window rows (multiple of 8)
+    wxp: int  # DMA'd window cols (multiple of 128)
+    d: int  # horizontal displacement span (static loop bound)
+    wxd: int  # de-offset slice width = D + TX, rounded to 128
+    wxpf: int  # full VMEM window cols incl. left pad
+    pad: int  # dead columns left of the DMA region (=TX)
+    by: np.ndarray  # (yt, xt) int32 window row origin (8-aligned)
+    wx: np.ndarray  # (yt, xt) int32 window col origin (128-aligned)
+    off: np.ndarray  # (yt, xt) int32 per-tile lane de-offset
+    dxl: np.ndarray  # (H, W) int32 left-tap displacement in [0, D)
+    dxr: np.ndarray  # (H, W) int32 right-tap displacement in [0, D)
+    ylrel: np.ndarray  # (H, W) int32 window-relative top y tap
+    yrrel: np.ndarray  # (H, W) int32 window-relative bottom y tap
+    wx0: np.ndarray  # (H, W) f32 left-tap weight (border-masked)
+    wx1: np.ndarray  # (H, W) f32 right-tap weight
+    wy0: np.ndarray  # (H, W) f32 top-tap weight
+    wy1: np.ndarray  # (H, W) f32 bottom-tap weight
+
+    @property
+    def grid(self):
+        return (self.h // TY, self.w // TX)
+
+
+def build_warp_tables(h: int, w: int, strength: float) -> WarpTables:
+    """Precompute window origins, displacements and masked weights.
+
+    Requires h % 8 == 0 and w % 128 == 0 (callers pad; standard video
+    sizes 640/1280/1920 x 480/720/1080 already conform).
+    """
+    if h % TY or w % TX:
+        raise ValueError(f"warp kernel needs H%{TY}==0 and W%{TX}==0, got {h}x{w}")
+    map_x, map_y = barrel_warp_maps(h, w, strength)
+    x0 = np.floor(map_x).astype(np.int64)
+    fx = (map_x - x0).astype(np.float32)
+    y0 = np.floor(map_y).astype(np.int64)
+    fy = (map_y - y0).astype(np.float32)
+
+    vx0 = (x0 >= 0) & (x0 <= w - 1)
+    vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    vy0 = (y0 >= 0) & (y0 <= h - 1)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    wx0 = ((1.0 - fx) * vx0).astype(np.float32)
+    wx1 = (fx * vx1).astype(np.float32)
+    wy0 = ((1.0 - fy) * vy0).astype(np.float32)
+    wy1 = (fy * vy1).astype(np.float32)
+
+    # Zero-weight (out-of-frame) taps impose NO constraints: a one-hot
+    # index that never matches contributes an exact 0, and the q/m masks
+    # carry the zero weight anyway. So windows, spans and displacement
+    # tables are computed over VALID taps only, and invalid taps get
+    # index 0. This keeps the static delta-loop bound D at the map's
+    # *derivative* span per tile (tens, not hundreds).
+    yt, xt = h // TY, w // TX
+    big = 1 << 30
+
+    def tiled(a):
+        return a.reshape(yt, TY, xt, TX)
+
+    v0x, v1x = tiled(vx0), tiled(vx1)
+    v0y, v1y = tiled(vy0), tiled(vy1)
+
+    def masked_min(a, m):
+        return np.where(m, a, big).min(axis=(1, 3))
+
+    def masked_max(a, m):
+        return np.where(m, a, -big).max(axis=(1, 3))
+
+    xl_t, xr_t = tiled(x0), tiled(x0 + 1)
+    yl_t, yr_t = tiled(y0), tiled(y0 + 1)
+    has_x = (v0x | v1x).any(axis=(1, 3))
+    has_y = (v0y | v1y).any(axis=(1, 3))
+
+    xmin = np.minimum(masked_min(xl_t, v0x), masked_min(xr_t, v1x))
+    xmax = np.maximum(masked_max(xl_t, v0x), masked_max(xr_t, v1x))
+    ymin = np.minimum(masked_min(yl_t, v0y), masked_min(yr_t, v1y))
+    ymax = np.maximum(masked_max(yl_t, v0y), masked_max(yr_t, v1y))
+    # all-invalid tiles: any legal window works
+    tsx = (np.arange(xt) * TX)[None, :]
+    tsy = (np.arange(yt) * TY)[:, None]
+    xmin = np.where(has_x, xmin, tsx)
+    xmax = np.where(has_x, xmax, tsx)
+    ymin = np.where(has_y, ymin, tsy)
+    ymax = np.where(has_y, ymax, tsy)
+
+    # DMA origins must sit on the (8, 128) memory-tiling grid.
+    wx_al = (xmin // TX) * TX
+    by_al = (ymin // 8) * 8
+    wxp = min(_round_up(int((xmax - wx_al).max()) + 1, TX), _round_up(w, TX))
+    byp = min(_round_up(int((ymax - by_al).max()) + 1, 8), _round_up(h, 8))
+    wx_org = np.clip(wx_al, 0, w - wxp).astype(np.int64)
+    by_org = np.clip(by_al, 0, h - byp).astype(np.int64)
+
+    # Horizontal displacements relative to each output column j: the
+    # per-tile span is the map's derivative across the tile. Taps can
+    # land left of j (negative displacement), so the VMEM window carries
+    # PAD=128 dead columns on the left: wx_org - S <= 127 always
+    # (S >= min valid tap - 127 and wx_org <= min valid tap), hence
+    # off = S - wx_org + PAD >= 1.
+    jgrid = np.arange(TX, dtype=np.int64)[None, None, None, :]
+    dl = xl_t - jgrid  # (yt, TY, xt, TX): xtap - j
+    dr = xr_t - jgrid
+    s_t = np.minimum(masked_min(dl, v0x), masked_min(dr, v1x))
+    e_t = np.maximum(masked_max(dl, v0x), masked_max(dr, v1x))
+    # all-invalid tiles read nothing: pretend identity taps so the fake
+    # displacement is consistent with the fake window at the tile start
+    s_t = np.where(has_x, s_t, tsx)
+    e_t = np.where(has_x, e_t, tsx)
+    pad = TX
+    off = (s_t - wx_org + pad).astype(np.int32)
+    assert int(off.min()) >= 0
+    d = int((e_t - s_t).max()) + 1
+    wxd = _round_up(d + TX, TX)
+    wxpf = max(pad + wxp, _round_up(int(off.max()) + wxd, TX))
+    dxl = np.where(v0x, dl - s_t[:, None, :, None], 0).reshape(h, w).astype(np.int32)
+    dxr = np.where(v1x, dr - s_t[:, None, :, None], 0).reshape(h, w).astype(np.int32)
+    assert dxl.min() >= 0 and max(dxl.max(), dxr.max()) <= d - 1
+
+    ylrel = np.where(v0y, yl_t - by_org[:, None, :, None], 0).reshape(h, w).astype(np.int32)
+    yrrel = np.where(v1y, yr_t - by_org[:, None, :, None], 0).reshape(h, w).astype(np.int32)
+    assert ylrel.min() >= 0 and yrrel.max() <= byp - 1
+
+    return WarpTables(
+        h=h, w=w, byp=byp, wxp=wxp, d=d, wxd=wxd, wxpf=wxpf, pad=pad,
+        by=by_org.astype(np.int32), wx=wx_org.astype(np.int32), off=off,
+        dxl=dxl, dxr=dxr, ylrel=ylrel, yrrel=yrrel,
+        wx0=wx0, wx1=wx1, wy0=wy0, wy1=wy1,
+    )
+
+
+def _warp_kernel(
+    by_ref, wx_ref, off_ref,  # scalar prefetch (yt, xt) int32
+    img_ref,  # (B, 3, H, W) f32, ANY (manual DMA)
+    dxl_ref, dxr_ref, wx0_ref, wx1_ref,  # (TY, TX) blocks
+    yl_ref, yr_ref, wy0_ref, wy1_ref,
+    out_ref,  # (1, 3, TY, TX) block
+    win_ref, sem,  # scratch: (2, 3, BYP, WXPF) VMEM, DMA sems (2,)
+    *, byp: int, wxp: int, d: int, wxd: int, pad: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    yt = pl.num_programs(1)
+    xt = pl.num_programs(2)
+    t = (b * yt + i) * xt + j
+    n_t = pl.num_programs(0) * yt * xt
+    slot = jax.lax.rem(t, 2)
+    nslot = jax.lax.rem(t + 1, 2)
+
+    def start_window_dma(tt, sl):
+        jj = jax.lax.rem(tt, xt)
+        ii = jax.lax.rem(tt // xt, yt)
+        bb = tt // (xt * yt)
+        by = pl.multiple_of(by_ref[ii, jj], 8)
+        wx = pl.multiple_of(wx_ref[ii, jj], TX)
+        for c in range(3):
+            pltpu.make_async_copy(
+                img_ref.at[bb, c, pl.ds(by, byp), pl.ds(wx, wxp)],
+                win_ref.at[sl, c, :, pl.ds(pad, wxp)],
+                sem.at[sl],
+            ).start()
+
+    # Cross-program double buffering: program t-1 prefetched our window.
+    @pl.when(t == 0)
+    def _():
+        # Zero the scratch once: columns outside the DMA region (left
+        # pad + tail) are otherwise uninitialized, and 0 * garbage/NaN
+        # would poison the masked sums even under zero weights.
+        win_ref[...] = jnp.zeros_like(win_ref)
+        start_window_dma(t, slot)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        start_window_dma(t + 1, nslot)
+
+    for c in range(3):
+        pltpu.make_async_copy(
+            img_ref.at[0, 0, pl.ds(0, byp), pl.ds(0, wxp)],  # shape-only
+            win_ref.at[slot, c, :, pl.ds(pad, wxp)],
+            sem.at[slot],
+        ).wait()
+
+    # De-offset the window once so displacements live in [0, D).
+    # VMEM lane reads must be 128-aligned, so rotate dynamically and
+    # take an aligned static slice: rolled[k] = full[(k + off) mod WXPF].
+    off = off_ref[i, j]
+    full = win_ref[slot]  # (3, BYP, WXPF)
+    wxpf = full.shape[-1]
+    rolled = pltpu.roll(full, wxpf - off, axis=2)
+    win = rolled[:, :, :wxd]  # (3, BYP, WXD)
+
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (d, TX), 0)
+    dio = jax.lax.broadcasted_iota(jnp.int32, (byp, TX), 0)
+    for r in range(TY):
+        # exact bilinear x-weights per displacement: (D, TX)
+        q = (
+            wx0_ref[r, :][None, :] * (iota_d == dxl_ref[r, :][None, :]).astype(jnp.float32)
+            + wx1_ref[r, :][None, :] * (iota_d == dxr_ref[r, :][None, :]).astype(jnp.float32)
+        )
+        m0 = dio == yl_ref[r, :][None, :]  # (BYP, TX)
+        m1 = dio == yr_ref[r, :][None, :]
+        for c in range(3):
+            cband = None  # x-resolved band: (BYP, TX)
+            for dd in range(d):
+                term = q[dd][None, :] * win[c, :, dd:dd + TX]
+                cband = term if cband is None else cband + term
+            s0 = jnp.sum(jnp.where(m0, cband, 0.0), axis=0)
+            s1 = jnp.sum(jnp.where(m1, cband, 0.0), axis=0)
+            out_ref[0, c, r, :] = wy0_ref[r, :] * s0 + wy1_ref[r, :] * s1
+
+
+def warp_planar(imgs: jax.Array, tables: WarpTables, interpret: bool = False) -> jax.Array:
+    """(B, 3, H, W) f32 -> (B, 3, H, W) f32 barrel-warped. (Not jitted
+    itself — callers trace it inside the engine's jitted step.)"""
+    b = imgs.shape[0]
+    t = tables
+    yt, xt = t.grid
+    # index maps receive (grid indices..., *scalar_prefetch_refs)
+    tile = lambda bb, i, j, *_: (i, j)  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, yt, xt),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # img
+        + [pl.BlockSpec((TY, TX), tile)] * 8,  # dxl dxr wx0 wx1 yl yr wy0 wy1
+        out_specs=pl.BlockSpec((1, 3, TY, TX), lambda bb, i, j, *_: (bb, 0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, t.byp, t.wxpf), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = functools.partial(
+        _warp_kernel, byp=t.byp, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 3, t.h, t.w), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(t.by), jnp.asarray(t.wx), jnp.asarray(t.off), imgs,
+        jnp.asarray(t.dxl), jnp.asarray(t.dxr),
+        jnp.asarray(t.wx0), jnp.asarray(t.wx1),
+        jnp.asarray(t.ylrel), jnp.asarray(t.yrrel),
+        jnp.asarray(t.wy0), jnp.asarray(t.wy1),
+    )
+
+
+def warp_nhwc(imgs: jax.Array, tables: WarpTables, interpret: bool = False) -> jax.Array:
+    """(B, H, W, 3) f32 -> warped, via the planar kernel."""
+    planar = jnp.transpose(imgs, (0, 3, 1, 2))
+    out = warp_planar(planar, tables, interpret)
+    return jnp.transpose(out, (0, 2, 3, 1))

@@ -68,7 +68,7 @@ class ShardedCRTEngine:
 
         def local_block(frames_u8, aux, state, first_arr, c):
             """Runs per shard. state/first/consts replicated; frames/aux sharded."""
-            imgs = jax.vmap(lambda f, a: eng._frame_chain(c, f, a))(frames_u8, aux)
+            imgs = eng._batch_effects(frames_u8, aux, c)
             if not persist:
                 return ocolor.to_uint8(imgs), imgs[-1]
 
