@@ -1,0 +1,667 @@
+"""Qt GUI (reference crt_filter.py:1272-2349 — components #23-27).
+
+Same surface as the reference: a main window with Open/Play/Render
+toolbar, five parameter tabs (Effects / Motion / Advanced / Text /
+Output), a live preview, preset save/load (reference JSON schema), and
+a modal export dialog. Differences by design:
+
+- Preview frames run through the CPU oracle (pythoncrt_tpu.oracle) —
+  bit-identical math to the TPU engine, no per-slider recompiles.
+- Renders run pythoncrt_tpu.pipeline.process_video on a worker thread
+  (the TPU path), with progress marshalled back via Qt signals.
+- Decode uses OpenCV capture (the reference's HWPreviewReader falls
+  back to the same).
+
+This module imports PySide6 lazily; pythoncrt_tpu.gui gates on its
+availability. It is exercised only where Qt is installed (headless TPU
+hosts use the CLI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from . import oracle
+from .params import (
+    EffectParams,
+    TextParams,
+    load_preset,
+    load_text_preset,
+    save_preset,
+    save_text_preset,
+)
+from .text import overlay_for
+
+PREVIEW_MAX_W, PREVIEW_MAX_H = 960, 540  # crt_filter.py:1680-1681
+
+
+class PreviewReader:
+    """cv2-based preview capture with restart-on-EOF
+    (HWPreviewReader role, crt_filter.py:1275-1341)."""
+
+    def __init__(self, path: str) -> None:
+        import cv2
+
+        self._cv2 = cv2
+        self.path = path
+        self.cap = cv2.VideoCapture(path)
+        self.fps = float(self.cap.get(cv2.CAP_PROP_FPS) or 24.0)
+        self.duration = (
+            float(self.cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0) / self.fps
+            if self.fps > 0
+            else 0.0
+        )
+        self.size = (
+            int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        )
+
+    def frame_at(self, t_sec: float):
+        cv2 = self._cv2
+        self.cap.set(cv2.CAP_PROP_POS_MSEC, max(0.0, t_sec) * 1000.0)
+        ok, bgr = self.cap.read()
+        if not ok:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            ok, bgr = self.cap.read()
+            if not ok:
+                return None
+        return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+    def read_next(self):
+        cv2 = self._cv2
+        ok, bgr = self.cap.read()
+        if not ok:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            ok, bgr = self.cap.read()
+            if not ok:
+                return None
+        return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+    def close(self) -> None:
+        self.cap.release()
+
+
+def _preview_size(w: int, h: int) -> tuple[int, int]:
+    scale = min(PREVIEW_MAX_W / max(1, w), PREVIEW_MAX_H / max(1, h), 1.0)
+    return max(1, int(w * scale)), max(1, int(h * scale))
+
+
+def run_app() -> int:
+    from PySide6 import QtCore, QtGui, QtWidgets
+
+    class ExportDialog(QtWidgets.QDialog):
+        """Output path, size/fps (0 = keep), HW-encode checkbox
+        (crt_filter.py:1343-1392)."""
+
+        def __init__(self, parent=None):
+            super().__init__(parent)
+            self.setWindowTitle("Export")
+            form = QtWidgets.QFormLayout(self)
+            self.path_edit = QtWidgets.QLineEdit(str(Path.cwd() / "out_crt.mp4"))
+            browse = QtWidgets.QPushButton("…")
+            browse.clicked.connect(self._browse)
+            row = QtWidgets.QHBoxLayout()
+            row.addWidget(self.path_edit)
+            row.addWidget(browse)
+            form.addRow("Output", row)
+            self.width_box = QtWidgets.QSpinBox(maximum=7680)
+            self.height_box = QtWidgets.QSpinBox(maximum=4320)
+            self.fps_box = QtWidgets.QSpinBox(maximum=240)
+            for b in (self.width_box, self.height_box, self.fps_box):
+                b.setSpecialValueText("keep")
+            form.addRow("Width", self.width_box)
+            form.addRow("Height", self.height_box)
+            form.addRow("FPS", self.fps_box)
+            self.gpu_cb = QtWidgets.QCheckBox("Hardware encoder")
+            form.addRow(self.gpu_cb)
+            bb = QtWidgets.QDialogButtonBox(
+                QtWidgets.QDialogButtonBox.Ok | QtWidgets.QDialogButtonBox.Cancel
+            )
+            bb.accepted.connect(self.accept)
+            bb.rejected.connect(self.reject)
+            form.addRow(bb)
+
+        def _browse(self):
+            path, _ = QtWidgets.QFileDialog.getSaveFileName(
+                self, "Output video", self.path_edit.text(), "Video (*.mp4)"
+            )
+            if path:
+                self.path_edit.setText(path)
+
+    class RenderWorker(QtCore.QObject):
+        progress = QtCore.Signal(float)
+        done = QtCore.Signal(bool, str)
+
+        def __init__(self, kwargs: dict):
+            super().__init__()
+            self.kwargs = kwargs
+
+        @QtCore.Slot()
+        def run(self):
+            try:
+                from .pipeline import process_video
+
+                used_gpu = process_video(
+                    progress_cb=lambda v: self.progress.emit(float(v)),
+                    **self.kwargs,
+                )
+                self.done.emit(True, "Hardware encoder" if used_gpu else "CPU encoder")
+            except Exception as e:  # surfaced in the status bar
+                self.done.emit(False, str(e))
+
+    class CRTWindow(QtWidgets.QMainWindow):
+        def __init__(self):
+            super().__init__()
+            self.setWindowTitle("PythonCRT (TPU)")
+            self.reader: PreviewReader | None = None
+            self.t = 0.0
+            self.prev_img = None  # persistence state (float32)
+            self._render_thread = None
+            self._build_ui()
+            self._defaults = self._collect_settings()
+            self.timer = QtCore.QTimer(self)
+            self.timer.timeout.connect(self.on_tick)
+
+        # ---------------- UI construction ----------------
+
+        def _slider(self, lo, hi, val, step=0.01):
+            box = QtWidgets.QDoubleSpinBox()
+            box.setRange(lo, hi)
+            box.setSingleStep(step)
+            box.setValue(val)
+            box.valueChanged.connect(self._render_current_frame)
+            return box
+
+        def _ispin(self, lo, hi, val):
+            box = QtWidgets.QSpinBox()
+            box.setRange(lo, hi)
+            box.setValue(val)
+            box.valueChanged.connect(self._render_current_frame)
+            return box
+
+        def _check(self, val):
+            cb = QtWidgets.QCheckBox()
+            cb.setChecked(val)
+            cb.toggled.connect(self._render_current_frame)
+            return cb
+
+        def _build_ui(self):
+            tb = self.addToolBar("Main")
+            tb.setMovable(False)
+            for name, slot in (
+                ("Open", self.on_open),
+                ("Play", self.on_play),
+                ("Render", self.on_render),
+                ("Reset", self.on_reset),
+                ("Save Preset", self.on_save_preset),
+                ("Load Preset", self.on_load_preset),
+            ):
+                act = QtGui.QAction(name, self)
+                act.triggered.connect(slot)
+                tb.addAction(act)
+
+            d = EffectParams()
+            tabs = QtWidgets.QTabWidget()
+            tabs.setFixedWidth(420)  # crt_filter.py sidebar width
+
+            fx = QtWidgets.QFormLayout()
+            self.scanline_val = self._slider(0, 1, d.scanline_strength)
+            self.triad_val = self._slider(0, 1, d.triad_strength)
+            self.triad_gamma = self._slider(0.1, 5, d.triad_gamma)
+            self.triad_softness = self._slider(0, 5, d.triad_softness)
+            self.triad_preserve_luma = self._check(d.triad_preserve_luma)
+            self.pixel_size = self._ispin(1, 16, d.pixel_size)
+            self.aberration = self._ispin(-8, 8, d.aberration_px)
+            self.noise_val = self._slider(0, 50, d.noise_strength, 0.5)
+            self.bloom_sigma = self._slider(0, 10, d.bloom_sigma)
+            self.bloom_strength = self._slider(0, 2, d.bloom_strength)
+            self.bloom_threshold = self._slider(0, 1, d.bloom_threshold)
+            self.vignette_val = self._slider(0, 1, d.vignette_strength)
+            self.fast_bloom_cb = self._check(d.fast_bloom)
+            for label, wdg in (
+                ("Scanlines", self.scanline_val), ("Triad", self.triad_val),
+                ("Triad gamma", self.triad_gamma), ("Triad softness", self.triad_softness),
+                ("Preserve luma", self.triad_preserve_luma), ("Pixel size", self.pixel_size),
+                ("Aberration px", self.aberration), ("Noise", self.noise_val),
+                ("Bloom sigma", self.bloom_sigma), ("Bloom strength", self.bloom_strength),
+                ("Bloom threshold", self.bloom_threshold), ("Vignette", self.vignette_val),
+                ("Fast bloom", self.fast_bloom_cb),
+            ):
+                fx.addRow(label, wdg)
+            fx_w = QtWidgets.QWidget(); fx_w.setLayout(fx)
+            tabs.addTab(fx_w, "Effects")
+
+            mo = QtWidgets.QFormLayout()
+            self.persistence_val = self._slider(0, 0.95, d.persistence)
+            self.scanline_speed = self._slider(-1000, 1000, 60.0, 1.0)  # GUI default 60 (crt_filter.py:1493)
+            self.scanline_period = self._slider(1, 100, d.scanline_period_px, 0.5)
+            self.glitch_amp = self._ispin(0, 64, d.glitch_amp_px)
+            self.glitch_height = self._slider(0, 1, d.glitch_height_frac)
+            self.flicker_strength = self._slider(0, 1, d.flicker_strength)
+            self.flicker_hz = self._slider(0, 60, d.flicker_hz, 0.5)
+            for label, wdg in (
+                ("Persistence", self.persistence_val), ("Scanline speed", self.scanline_speed),
+                ("Scanline period", self.scanline_period), ("Glitch amp", self.glitch_amp),
+                ("Glitch height", self.glitch_height), ("Flicker", self.flicker_strength),
+                ("Flicker Hz", self.flicker_hz),
+            ):
+                mo.addRow(label, wdg)
+            mo_w = QtWidgets.QWidget(); mo_w.setLayout(mo)
+            tabs.addTab(mo_w, "Motion")
+
+            adv = QtWidgets.QFormLayout()
+            self.brightness = self._slider(-1, 1, d.brightness)
+            self.contrast = self._slider(0, 3, d.contrast)
+            self.gamma = self._slider(0.1, 3, d.gamma)
+            self.saturation = self._slider(0, 3, d.saturation)
+            self.temperature = self._slider(-1, 1, d.temperature)
+            self.grain_size = self._ispin(1, 8, d.grain_size)
+            self.scanline_angle = self._slider(-45, 45, d.scanline_angle, 0.5)
+            self.scanline_thickness = self._slider(0.1, 4, d.scanline_thickness)
+            self.warp_strength = self._slider(-1, 1, d.warp_strength)
+            for label, wdg in (
+                ("Brightness", self.brightness), ("Contrast", self.contrast),
+                ("Gamma", self.gamma), ("Saturation", self.saturation),
+                ("Temperature", self.temperature), ("Grain size", self.grain_size),
+                ("Scanline angle", self.scanline_angle),
+                ("Scanline thickness", self.scanline_thickness),
+                ("Warp", self.warp_strength),
+            ):
+                adv.addRow(label, wdg)
+            adv_w = QtWidgets.QWidget(); adv_w.setLayout(adv)
+            tabs.addTab(adv_w, "Advanced")
+
+            tx = QtWidgets.QFormLayout()
+            self.text_input = QtWidgets.QLineEdit()
+            self.text_input.textChanged.connect(self._render_current_frame)
+            self.text_font_path = QtWidgets.QLineEdit()
+            self.text_size = self._ispin(4, 256, 36)
+            self.text_color = QtWidgets.QLineEdit("#FFFFFF")
+            self.text_color.textChanged.connect(self._render_current_frame)
+            self.text_x = self._ispin(0, 7680, 32)
+            self.text_y = self._ispin(0, 4320, 32)
+            self.text_after = self._check(True)  # GUI default True (crt_filter.py:1443)
+            browse_font = QtWidgets.QPushButton("Browse font…")
+            browse_font.clicked.connect(self.on_browse_font)
+            save_tp = QtWidgets.QPushButton("Save text preset")
+            save_tp.clicked.connect(self.on_save_text_preset)
+            load_tp = QtWidgets.QPushButton("Load text preset")
+            load_tp.clicked.connect(self.on_load_text_preset)
+            for label, wdg in (
+                ("Text", self.text_input), ("Font path", self.text_font_path),
+                ("Size", self.text_size), ("Color", self.text_color),
+                ("X", self.text_x), ("Y", self.text_y), ("After effects", self.text_after),
+            ):
+                tx.addRow(label, wdg)
+            tx.addRow(browse_font)
+            tx.addRow(save_tp)
+            tx.addRow(load_tp)
+            tx_w = QtWidgets.QWidget(); tx_w.setLayout(tx)
+            tabs.addTab(tx_w, "Text")
+
+            out = QtWidgets.QFormLayout()
+            self.crf_val = self._ispin(12, 28, 18)
+            self.bitrate_kbps = self._ispin(0, 100000, 0)
+            self.nvenc_preset = QtWidgets.QLineEdit("p4")
+            self.gpu_cb = self._check(False)
+            self.encoder_choice = QtWidgets.QComboBox()
+            self.encoder_choice.addItems(["auto", "nvidia", "amd", "cpu"])
+            self.decoder_choice = QtWidgets.QComboBox()
+            self.decoder_choice.addItems(["auto", "nvidia", "amd", "intel", "cpu"])
+            self.batch_size = self._ispin(1, 256, 16)
+            for label, wdg in (
+                ("CRF", self.crf_val), ("Bitrate kbps", self.bitrate_kbps),
+                ("NVENC preset", self.nvenc_preset), ("HW encode", self.gpu_cb),
+                ("Encoder", self.encoder_choice), ("Decoder", self.decoder_choice),
+                ("Batch size", self.batch_size),
+            ):
+                out.addRow(label, wdg)
+            out_w = QtWidgets.QWidget(); out_w.setLayout(out)
+            tabs.addTab(out_w, "Output")
+
+            self.video_label = QtWidgets.QLabel("Open a video to begin")
+            self.video_label.setAlignment(QtCore.Qt.AlignCenter)
+            self.video_label.setMinimumSize(640, 360)
+
+            central = QtWidgets.QWidget()
+            lay = QtWidgets.QHBoxLayout(central)
+            lay.addWidget(tabs)
+            lay.addWidget(self.video_label, stretch=1)
+            self.setCentralWidget(central)
+
+            self.status = self.statusBar()
+            self.progress = QtWidgets.QProgressBar()
+            self.progress.setMaximumWidth(220)
+            self.progress.setVisible(False)
+            self.status.addPermanentWidget(self.progress)
+
+        # ---------------- parameter plumbing ----------------
+
+        def current_params(self) -> EffectParams:
+            return EffectParams(
+                scanline_strength=self.scanline_val.value(),
+                triad_strength=self.triad_val.value(),
+                triad_gamma=self.triad_gamma.value(),
+                triad_preserve_luma=self.triad_preserve_luma.isChecked(),
+                triad_softness=self.triad_softness.value(),
+                aberration_px=self.aberration.value(),
+                bloom_sigma=self.bloom_sigma.value(),
+                bloom_strength=self.bloom_strength.value(),
+                bloom_threshold=self.bloom_threshold.value(),
+                noise_strength=self.noise_val.value(),
+                vignette_strength=self.vignette_val.value(),
+                persistence=self.persistence_val.value(),
+                scanline_speed_px_s=self.scanline_speed.value(),
+                scanline_period_px=self.scanline_period.value(),
+                fast_bloom=self.fast_bloom_cb.isChecked(),
+                pixel_size=self.pixel_size.value(),
+                glitch_amp_px=self.glitch_amp.value(),
+                glitch_height_frac=self.glitch_height.value(),
+                brightness=self.brightness.value(),
+                contrast=self.contrast.value(),
+                gamma=self.gamma.value(),
+                saturation=self.saturation.value(),
+                temperature=self.temperature.value(),
+                flicker_strength=self.flicker_strength.value(),
+                flicker_hz=self.flicker_hz.value(),
+                grain_size=self.grain_size.value(),
+                scanline_angle=self.scanline_angle.value(),
+                scanline_thickness=self.scanline_thickness.value(),
+                warp_strength=self.warp_strength.value(),
+                text=TextParams(
+                    text=self.text_input.text(),
+                    font=self.text_font_path.text(),
+                    size=self.text_size.value(),
+                    color=self.text_color.text(),
+                    x=self.text_x.value(),
+                    y=self.text_y.value(),
+                    after=self.text_after.isChecked(),
+                ),
+            ).clamped()
+
+        def _collect_settings(self) -> dict:
+            p = self.current_params()
+            return p.to_preset_dict(
+                crf=self.crf_val.value(),
+                bitrate_kbps=self.bitrate_kbps.value(),
+                nvenc_preset=self.nvenc_preset.text(),
+                gpu=self.gpu_cb.isChecked(),
+                encoder=self.encoder_choice.currentText(),
+            )
+
+        def _apply_settings(self, s: dict) -> None:
+            p = EffectParams.from_preset_dict(s, self.current_params())
+            widgets = {
+                "scanline_strength": self.scanline_val, "triad_strength": self.triad_val,
+                "triad_gamma": self.triad_gamma, "triad_softness": self.triad_softness,
+                "noise_strength": self.noise_val, "bloom_sigma": self.bloom_sigma,
+                "bloom_strength": self.bloom_strength, "bloom_threshold": self.bloom_threshold,
+                "vignette_strength": self.vignette_val, "persistence": self.persistence_val,
+                "scanline_speed_px_s": self.scanline_speed,
+                "scanline_period_px": self.scanline_period,
+                "brightness": self.brightness, "contrast": self.contrast,
+                "gamma": self.gamma, "saturation": self.saturation,
+                "temperature": self.temperature, "flicker_strength": self.flicker_strength,
+                "flicker_hz": self.flicker_hz, "scanline_angle": self.scanline_angle,
+                "scanline_thickness": self.scanline_thickness,
+                "warp_strength": self.warp_strength,
+            }
+            for field, widget in widgets.items():
+                widget.setValue(float(getattr(p, field)))
+            self.pixel_size.setValue(p.pixel_size)
+            self.aberration.setValue(p.aberration_px)
+            self.glitch_amp.setValue(p.glitch_amp_px)
+            self.grain_size.setValue(p.grain_size)
+            self.triad_preserve_luma.setChecked(p.triad_preserve_luma)
+            self.fast_bloom_cb.setChecked(p.fast_bloom)
+            if "crf" in s:
+                self.crf_val.setValue(int(s["crf"]))
+            if "bitrate_kbps" in s:
+                self.bitrate_kbps.setValue(int(s["bitrate_kbps"]))
+            if "nvenc_preset" in s:
+                self.nvenc_preset.setText(str(s["nvenc_preset"]))
+            if "gpu" in s:
+                self.gpu_cb.setChecked(bool(s["gpu"]))
+            if "encoder" in s:
+                idx = self.encoder_choice.findText(str(s["encoder"]).lower())
+                self.encoder_choice.setCurrentIndex(max(0, idx))
+            self._render_current_frame()
+
+        # ---------------- preview ----------------
+
+        def _apply_preview(self, frame: np.ndarray, stateful: bool) -> np.ndarray:
+            p = self.current_params()
+            h, w = frame.shape[:2]
+            pw, ph = _preview_size(w, h)
+            if (pw, ph) != (w, h):
+                import cv2
+
+                frame = cv2.resize(frame, (pw, ph), interpolation=cv2.INTER_LINEAR)
+            phase = self.t * p.scanline_speed_px_s
+            noise = (
+                np.random.default_rng(int(self.t * 1000)).standard_normal(
+                    (max(1, ph // p.grain_size), max(1, pw // p.grain_size)),
+                    dtype=np.float32,
+                )
+                if p.noise_on
+                else None
+            )
+            text_rgba = overlay_for(pw, ph, p.text)
+            img = oracle.apply_effects(
+                frame, p, phase_px=phase, time_sec=self.t,
+                noise_field=noise, text_rgba=text_rgba, engine="preview",
+            )
+            if stateful and p.persistence_on:
+                if self.prev_img is not None and self.prev_img.shape != img.shape:
+                    self.prev_img = None
+                img = oracle.persistence_blend(self.prev_img, img, p.persistence)
+                self.prev_img = img
+            return oracle.ops.to_uint8(img)
+
+        def _show(self, rgb_u8: np.ndarray) -> None:
+            h, w = rgb_u8.shape[:2]
+            qimg = QtGui.QImage(
+                np.ascontiguousarray(rgb_u8).data, w, h, 3 * w,
+                QtGui.QImage.Format_RGB888,
+            )
+            self.video_label.setPixmap(QtGui.QPixmap.fromImage(qimg.copy()))
+            mins, secs = divmod(int(self.t), 60)
+            self.status.showMessage(f"{mins:02d}:{secs:02d}")
+
+        def _render_current_frame(self, *_):
+            if self.reader is None:
+                return
+            frame = self.reader.frame_at(self.t)
+            if frame is None:
+                return
+            self.prev_img = None  # paused preview is stateless (crt_filter.py:1984)
+            self._show(self._apply_preview(frame, stateful=False))
+
+        def on_tick(self):
+            if self.reader is None:
+                return
+            frame = self.reader.read_next()
+            if frame is None:
+                return
+            self._show(self._apply_preview(frame, stateful=True))
+            self.t += 1.0 / max(1.0, self.reader.fps)
+            if self.reader.duration and self.t >= self.reader.duration:
+                self.t = 0.0
+
+        # ---------------- actions ----------------
+
+        def on_open(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Open video", str(Path.cwd()),
+                "Video (*.mp4 *.mov *.avi *.mkv *.webm);;All files (*)",
+            )
+            if not path:
+                return
+            if self.reader is not None:
+                self.reader.close()
+            self.reader = PreviewReader(path)
+            self.t = 0.0
+            self.prev_img = None
+            self._render_current_frame()
+            self.status.showMessage(f"Opened {Path(path).name}")
+
+        def on_play(self):
+            if self.reader is None:
+                return
+            if self.timer.isActive():
+                self.timer.stop()
+            else:
+                self.timer.start(int(1000.0 / max(1.0, self.reader.fps)))
+
+        def on_reset(self):
+            self._apply_settings(self._defaults)
+
+        def on_save_preset(self):
+            path, _ = QtWidgets.QFileDialog.getSaveFileName(
+                self, "Save Preset", str(Path.cwd() / "preset.json"), "JSON (*.json)"
+            )
+            if not path:
+                return
+            try:
+                save_preset(
+                    path, self.current_params(),
+                    crf=self.crf_val.value(), bitrate_kbps=self.bitrate_kbps.value(),
+                    nvenc_preset=self.nvenc_preset.text(), gpu=self.gpu_cb.isChecked(),
+                    encoder=self.encoder_choice.currentText(),
+                )
+                self.status.showMessage("Preset saved")
+            except OSError as e:
+                QtWidgets.QMessageBox.critical(self, "Error", f"Failed to save preset:\n{e}")
+
+        def on_load_preset(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Load Preset", str(Path.cwd()), "JSON (*.json)"
+            )
+            if not path:
+                return
+            try:
+                _, raw = load_preset(path)
+                self._apply_settings(raw)
+                self.status.showMessage("Preset loaded")
+            except (OSError, ValueError) as e:
+                QtWidgets.QMessageBox.critical(self, "Error", f"Failed to load preset:\n{e}")
+
+        def on_browse_font(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Choose Font", str(Path.cwd()), "Fonts (*.ttf *.otf)"
+            )
+            if path:
+                self.text_font_path.setText(path)
+                self._render_current_frame()
+
+        def on_save_text_preset(self):
+            path, _ = QtWidgets.QFileDialog.getSaveFileName(
+                self, "Save Text Preset", str(Path.cwd() / "text_preset.json"),
+                "JSON (*.json)",
+            )
+            if not path:
+                return
+            try:
+                save_text_preset(path, self.current_params().text)
+                self.status.showMessage("Text preset saved")
+            except OSError as e:
+                QtWidgets.QMessageBox.critical(self, "Error", f"Failed to save text preset:\n{e}")
+
+        def on_load_text_preset(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Load Text Preset", str(Path.cwd()), "JSON (*.json)"
+            )
+            if not path:
+                return
+            try:
+                t = load_text_preset(path)
+            except (OSError, ValueError) as e:
+                QtWidgets.QMessageBox.critical(self, "Error", f"Failed to load text preset:\n{e}")
+                return
+            self.text_input.setText(t.text)
+            self.text_font_path.setText(t.font)
+            self.text_size.setValue(t.size)
+            self.text_color.setText(t.color)
+            self.text_x.setValue(t.x)
+            self.text_y.setValue(t.y)
+            self.text_after.setChecked(t.after)
+            self.status.showMessage("Text preset loaded")
+
+        def on_render(self):
+            if self.reader is None:
+                self.status.showMessage("Open a video first")
+                return
+            dlg = ExportDialog(self)
+            if dlg.exec() != QtWidgets.QDialog.Accepted:
+                return
+            kwargs = dict(
+                input_path=self.reader.path,
+                output_path=dlg.path_edit.text(),
+                params=self.current_params(),
+                width=dlg.width_box.value() or None,
+                height=dlg.height_box.value() or None,
+                fps=dlg.fps_box.value() or None,
+                crf=self.crf_val.value(),
+                target_bitrate_kbps=self.bitrate_kbps.value(),
+                gpu=dlg.gpu_cb.isChecked() or self.gpu_cb.isChecked(),
+                nvenc_preset=self.nvenc_preset.text(),
+                encoder_preference=self.encoder_choice.currentText(),
+                decoder_preference=self.decoder_choice.currentText(),
+                batch_size=self.batch_size.value(),
+                engine_mode="export",
+                report=False,
+            )
+            self.setEnabled(False)
+            self.progress.setVisible(True)
+            self.progress.setValue(0)
+            self._render_thread = QtCore.QThread(self)
+            self._worker = RenderWorker(kwargs)
+            self._worker.moveToThread(self._render_thread)
+            self._render_thread.started.connect(self._worker.run)
+            self._worker.progress.connect(
+                lambda v: self.progress.setValue(int(v * 100))
+            )
+            self._worker.done.connect(self._on_render_done)
+            self._render_thread.start()
+
+        @QtCore.Slot(bool, str)
+        def _on_render_done(self, ok: bool, msg: str):
+            self._render_thread.quit()
+            self._render_thread.wait()
+            self.setEnabled(True)
+            self.progress.setVisible(False)
+            self.status.showMessage(("Render done — " + msg) if ok else ("Render failed: " + msg))
+
+        def closeEvent(self, e):
+            try:
+                self.timer.stop()
+                if self.reader is not None:
+                    self.reader.close()
+            except Exception:
+                pass
+            super().closeEvent(e)
+
+    app = QtWidgets.QApplication.instance() or QtWidgets.QApplication([])
+    app.setStyle("Fusion")
+    # dark palette (crt_filter.py:2309-2346)
+    pal = QtGui.QPalette()
+    for role, color in (
+        (QtGui.QPalette.Window, (37, 37, 38)),
+        (QtGui.QPalette.WindowText, (212, 212, 212)),
+        (QtGui.QPalette.Base, (30, 30, 30)),
+        (QtGui.QPalette.AlternateBase, (45, 45, 48)),
+        (QtGui.QPalette.Text, (212, 212, 212)),
+        (QtGui.QPalette.Button, (45, 45, 48)),
+        (QtGui.QPalette.ButtonText, (212, 212, 212)),
+        (QtGui.QPalette.Highlight, (0, 122, 204)),
+        (QtGui.QPalette.HighlightedText, (255, 255, 255)),
+    ):
+        pal.setColor(role, QtGui.QColor(*color))
+    app.setPalette(pal)
+    win = CRTWindow()
+    win.resize(1280, 760)
+    win.show()
+    return app.exec()
