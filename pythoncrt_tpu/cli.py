@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--assoc-scan", action="store_true",
                    help="O(log B) associative persistence scan (throughput mode)")
+    p.add_argument("--pipe-format", type=str, default="rgb24",
+                   choices=["rgb24", "yuv420p"],
+                   help="rawvideo decode pipe format (yuv420p halves pipe "
+                        "bandwidth; host converts via the native kernel)")
     return p
 
 
@@ -172,6 +176,7 @@ def main(argv=None) -> int:
         rng=str(a.rng),
         seed=int(a.seed),
         assoc_scan=bool(a.assoc_scan),
+        pipe_format=str(a.pipe_format),
     )
     print("Hardware encoder used" if used_gpu else "CPU encoder used")
     print(f"elapsed {time.perf_counter() - t0:.3f}s")

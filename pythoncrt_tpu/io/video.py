@@ -172,14 +172,23 @@ def probe_clip(path: str | Path) -> ClipInfo:
 class FFmpegRawReader:
     """ffmpeg-subprocess decoder yielding (H, W, 3) RGB uint8 frames via a
     rawvideo stdout pipe, with optional -hwaccel and fps/scale conversion
-    (reference FFmpegRawReader, crt_filter.py:469-514)."""
+    (reference FFmpegRawReader, crt_filter.py:469-514).
+
+    pipe_format="yuv420p" halves the pipe bandwidth (1.5 vs 3 B/px) and
+    converts on the host via the native BT.601 kernel — an opt-in perf
+    mode (byte output differs slightly from ffmpeg's own rgb24 path).
+    Reads use the native GIL-released exact-read loop when available.
+    """
 
     def __init__(self, src: str, out_w: int, out_h: int, fps: float,
-                 hwaccel: Optional[str] = None) -> None:
+                 hwaccel: Optional[str] = None, pipe_format: str = "rgb24") -> None:
         exe = find_ffmpeg()
         if not exe:
             raise RuntimeError("no ffmpeg binary available")
+        if pipe_format not in ("rgb24", "yuv420p"):
+            raise ValueError(f"unsupported pipe_format {pipe_format!r}")
         self.out_w, self.out_h = int(out_w), int(out_h)
+        self.pipe_format = pipe_format
         cmd = [exe, "-hide_banner", "-loglevel", "error"]
         if hwaccel and hwaccel != "auto":
             cmd += ["-hwaccel", hwaccel]
@@ -187,26 +196,28 @@ class FFmpegRawReader:
             "-i", str(src),
             "-vf", f"scale={self.out_w}:{self.out_h}",
             "-r", str(fps),
-            "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+            "-f", "rawvideo", "-pix_fmt", pipe_format, "-",
         ]
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                      stderr=subprocess.DEVNULL)
 
     def iter_frames(self) -> Iterator[np.ndarray]:
-        nbytes = self.out_w * self.out_h * 3
+        from .. import native
+
+        w, h = self.out_w, self.out_h
+        yuv = self.pipe_format == "yuv420p"
+        nbytes = w * h * 3 // 2 if yuv else w * h * 3
         buf = bytearray(nbytes)
+        view = memoryview(buf)
         assert self.proc.stdout is not None
-        readinto = self.proc.stdout.readinto
         while True:
-            view, got = memoryview(buf), 0
-            while got < nbytes:
-                n = readinto(view[got:])
-                if not n:
-                    break
-                got += n
+            got = native.readinto_exact(self.proc.stdout, view)
             if got < nbytes:
                 return
-            yield np.frombuffer(bytes(buf), np.uint8).reshape(self.out_h, self.out_w, 3)
+            if yuv:
+                yield native.yuv420p_to_rgb24(bytes(buf), w, h)
+            else:
+                yield np.frombuffer(bytes(buf), np.uint8).reshape(h, w, 3)
 
     def close(self) -> None:
         try:
@@ -258,14 +269,15 @@ class CV2Reader:
 
 
 def open_reader(
-    src: str, out_w: int, out_h: int, fps: float, decoder_preference: str = "auto"
+    src: str, out_w: int, out_h: int, fps: float, decoder_preference: str = "auto",
+    pipe_format: str = "rgb24",
 ):
     """Tier-by-tier reader selection: hwaccel ffmpeg -> plain ffmpeg ->
     OpenCV (the reference's fallback-chain pattern, crt_filter.py:1024-1036)."""
     accel = map_decoder_to_hwaccel(decoder_preference)
     if find_ffmpeg():
         try:
-            return FFmpegRawReader(src, out_w, out_h, fps, accel)
+            return FFmpegRawReader(src, out_w, out_h, fps, accel, pipe_format)
         except Exception:
             pass
     return CV2Reader(src, out_w, out_h, fps)

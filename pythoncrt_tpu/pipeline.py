@@ -86,6 +86,7 @@ def process_video(
     rng: str = "native",
     seed: int = 0,
     assoc_scan: bool = False,
+    pipe_format: str = "rgb24",
     progress_cb: Optional[Callable[[float], None]] = None,
     report: bool = True,
 ) -> bool:
@@ -115,7 +116,9 @@ def process_video(
             text_rgba=text_rgba, assoc_scan=assoc_scan,
         )
 
-    reader = vio.open_reader(str(input_path), out_w, out_h, fps_out, decoder_preference)
+    reader = vio.open_reader(
+        str(input_path), out_w, out_h, fps_out, decoder_preference, pipe_format
+    )
     writer, used_gpu = vio.open_writer(
         str(output_path), out_w, out_h, fps_out,
         encoder_preference=encoder_preference, gpu=gpu, crf=crf,
