@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["rgb24", "yuv420p"],
                    help="rawvideo decode pipe format (yuv420p halves pipe "
                         "bandwidth; host converts via the native kernel)")
+    p.add_argument("--profile", type=str, default="",
+                   help="write an xprof/jax.profiler trace of the render "
+                        "to this directory")
     return p
 
 
@@ -177,6 +180,7 @@ def main(argv=None) -> int:
         seed=int(a.seed),
         assoc_scan=bool(a.assoc_scan),
         pipe_format=str(a.pipe_format),
+        profile_dir=a.profile or None,
     )
     print("Hardware encoder used" if used_gpu else "CPU encoder used")
     print(f"elapsed {time.perf_counter() - t0:.3f}s")

@@ -29,11 +29,27 @@ serves both, compiled once per parameter set. Design (SURVEY.md §7):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Engine programs are large (the whole effect stack fuses into one XLA
+# program) and this rig's remote-compile path is slow (minutes at 1080p).
+# The persistent compilation cache works here (verified) and makes every
+# (params, shape) configuration a one-time compile across processes.
+if not os.environ.get("PCRT_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~/.cache"), "pythoncrt_tpu", "xla"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    except Exception:
+        pass
 
 from . import oracle
 from .oracle import ops as oops

@@ -89,6 +89,7 @@ def process_video(
     pipe_format: str = "rgb24",
     progress_cb: Optional[Callable[[float], None]] = None,
     report: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> bool:
     """Render ``input_path`` through the effect chain to ``output_path``.
 
@@ -139,6 +140,16 @@ def process_video(
     frames_done = 0
     state = None
     pending = None  # device batch in flight
+    profiler_ctx = None
+    if profile_dir:
+        # xprof trace of the device work (SURVEY.md §5: tracing parity);
+        # view with tensorboard or xprof.
+        import contextlib
+
+        import jax
+
+        profiler_ctx = jax.profiler.trace(profile_dir)
+        profiler_ctx.__enter__()
     try:
         while True:
             item = decode_q.get()
@@ -159,6 +170,8 @@ def process_video(
             with perf.timed("fx.device_wait"):
                 encode_q.put(np.asarray(pending))
     finally:
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
         stop.set()
         encode_q.put(None)
         t_enc.join(timeout=120)

@@ -17,20 +17,22 @@ def test_extension_builds():
 
 
 def test_readinto_exact_pipe():
+    import threading
+
     r, w = os.pipe()
     payload = os.urandom(1 << 16)
-    pid = os.fork()
-    if pid == 0:  # child: write in small chunks then close
-        os.close(r)
+
+    def writer():
         for i in range(0, len(payload), 4096):
             os.write(w, payload[i:i + 4096])
         os.close(w)
-        os._exit(0)
-    os.close(w)
+
+    t = threading.Thread(target=writer)
+    t.start()
     buf = bytearray(len(payload))
     with os.fdopen(r, "rb", buffering=0) as f:
         got = native.readinto_exact(f, memoryview(buf))
-    os.waitpid(pid, 0)
+    t.join()
     assert got == len(payload)
     assert bytes(buf) == payload
 
