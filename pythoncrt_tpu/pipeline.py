@@ -87,6 +87,7 @@ def process_video(
     seed: int = 0,
     assoc_scan: bool = False,
     pipe_format: str = "rgb24",
+    sharding: str = "auto",
     progress_cb: Optional[Callable[[float], None]] = None,
     report: bool = True,
     profile_dir: Optional[str] = None,
@@ -95,6 +96,10 @@ def process_video(
 
     Parameter semantics mirror reference process_video (crt_filter.py:864-912):
     width/height/fps of None/0 keep the source values; returns used_gpu.
+
+    sharding: "auto" shards each batch's frame axis across all local
+    devices when more than one is visible (persistence carry crosses
+    shard boundaries on-device); "none" forces single-device.
     """
     input_path, output_path = Path(input_path), Path(output_path)
     info = vio.probe_clip(input_path)
@@ -116,6 +121,17 @@ def process_video(
             engine=engine_mode, rng=rng, seed=seed,
             text_rgba=text_rgba, assoc_scan=assoc_scan,
         )
+        runner = eng
+        if sharding == "auto":
+            import jax
+
+            ndev = len(jax.devices())
+            if ndev > 1 and batch_size % ndev == 0:
+                from .parallel import ShardedCRTEngine
+
+                runner = ShardedCRTEngine(eng)
+        elif sharding not in ("none",):
+            raise ValueError(f"sharding must be 'auto' or 'none', got {sharding!r}")
 
     reader = vio.open_reader(
         str(input_path), out_w, out_h, fps_out, decoder_preference, pipe_format
@@ -157,7 +173,10 @@ def process_video(
                 break
             idx0, batch = item
             with perf.timed("fx.dispatch"):
-                out_dev, state = eng.process(
+                # the sharded runner needs mesh-divisible batches; the
+                # stream tail falls back to the single-device engine
+                use = runner if batch.shape[0] == batch_size else eng
+                out_dev, state = use.process(
                     batch, np.arange(idx0, idx0 + batch.shape[0]), state=state
                 )
                 out_dev.copy_to_host_async()

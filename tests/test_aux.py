@@ -120,3 +120,17 @@ class TestParamGates:
         assert p.scanline_period_px == 1.0
         assert p.warp_strength == 1.0
         assert p.grain_size == 1
+
+
+class TestQtTextRasterizer:
+    def test_falls_back_to_pil_without_qt(self):
+        from pythoncrt_tpu.text import rasterize_text, rasterize_text_qt
+
+        t = TextParams(text="QT", size=14, x=3, y=3)
+        out = rasterize_text_qt(100, 40, t)
+        assert out.shape == (40, 100, 4)
+        try:
+            import PySide6  # noqa: F401
+        except ImportError:
+            # identical to the PIL path when Qt is absent
+            np.testing.assert_array_equal(out, rasterize_text(100, 40, t))
