@@ -96,6 +96,32 @@ def bench_oracle(params, h, w, n_frames):
     return n_frames / (time.perf_counter() - t0)
 
 
+def bench_c5(quick=False, iters=3):
+    """Config 5: multi-clip batch render through the clip-sharded engine
+    (on however many chips are visible; 1 here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pythoncrt_tpu.engine import CRTEngine
+    from pythoncrt_tpu.parallel import MultiClipEngine, make_mesh
+
+    h, w, c, b = (540, 960, 1, 4) if quick else (2160, 3840, 1, 4)
+    mesh = make_mesh(axis="clips")
+    c = max(c, mesh.devices.size)
+    eng = CRTEngine(config_params("c4_temporal_1080p"), h, w, fps=30.0)
+    mc = MultiClipEngine(eng, mesh)
+    clips = jax.device_put(make_frames(c * b, h, w).reshape(c, b, h, w, 3))
+    idx = np.tile(np.arange(b), (c, 1))
+    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    out, st = mc.process(clips, idx)
+    int(red(out))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out, _ = mc.process(clips, idx + (i + 1) * b, states=st)
+        int(red(out))
+    return c * b * iters / (time.perf_counter() - t0)
+
+
 def config_params(name):
     from pythoncrt_tpu.params import EffectParams
 
@@ -157,6 +183,7 @@ def main():
                 ch, cw = ch // 2, cw // 2
             fps, cs = bench_engine(config_params(name), ch, cw, batch, iters)
             log(f"{name} {cw}x{ch}: {fps:.1f} fps (compile {cs:.1f}s)")
+        log(f"c5 (multi-clip 4K): {bench_c5(quick):.1f} fps")
 
     print(json.dumps({
         "metric": f"1080p frames/sec/chip, full effect stack ({w}x{h})",

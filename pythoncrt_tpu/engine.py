@@ -395,8 +395,8 @@ class CRTEngine:
     # Batched step with persistence scan
     # ------------------------------------------------------------------
 
-    def _step(self, frames_u8, aux: FrameAux, state, first_arr, c: dict):
-        imgs = self._batch_effects(frames_u8, aux, c)
+    def _finish(self, imgs, state, first_arr):
+        """Persistence scan over the batch axis + uint8 cast (stage 15)."""
         p = self.params
         if p.persistence_on:
             pp = np.float32(p.persistence)
@@ -423,6 +423,9 @@ class CRTEngine:
             outs = imgs
             new_state = imgs[-1]
         return ocolor.to_uint8(outs), new_state
+
+    def _step(self, frames_u8, aux: FrameAux, state, first_arr, c: dict):
+        return self._finish(self._batch_effects(frames_u8, aux, c), state, first_arr)
 
     def _assoc_persistence(self, imgs, state0):
         """O(log B) associative scan for s_t = p*s_{t-1} + (1-p)*x_t.
