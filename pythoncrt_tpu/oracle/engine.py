@@ -349,9 +349,11 @@ def apply_effects(
             blur = ops.gaussian_blur_replicate(src, k, k, p.bloom_sigma, p.bloom_sigma)
         img = np.clip(img + np.float32(p.bloom_strength) * blur, 0.0, 1.0)
 
-    if p.triad_on:  # stage 7
-        if triad is None:
-            triad = triad_mask(h, w, p.triad_strength, p.triad_softness)
+    # stage 7 gates on mask presence like the reference (crt_filter.py:783):
+    # an explicitly passed mask applies regardless of triad_strength
+    if triad is None and p.triad_on:
+        triad = triad_mask(h, w, p.triad_strength, p.triad_softness)
+    if triad is not None:
         img = apply_triad(img, triad, p.triad_gamma, p.triad_preserve_luma)
 
     if p.scanlines_on:  # stage 8, crt_filter.py:787-794
@@ -365,9 +367,10 @@ def apply_effects(
             )
             img = np.clip(img * sl2[:, :, None], 0.0, 1.0)
 
-    if p.vignette_on:  # stage 9
-        if vignette is None:
-            vignette = vignette_mask(h, w, p.vignette_strength)
+    # stage 9 likewise gates on mask presence (crt_filter.py:796)
+    if vignette is None and p.vignette_on:
+        vignette = vignette_mask(h, w, p.vignette_strength)
+    if vignette is not None:
         img = np.clip(img * vignette[:, :, None], 0.0, 1.0)
 
     if p.flicker_on:  # stage 10
