@@ -240,24 +240,30 @@ def _warp_kernel(
     rolled = pltpu.roll(full, wxpf - off, axis=2)
     win = rolled[:, :, :wxd]  # (3, BYP, WXD)
 
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (d, TX), 0)
-    dio = jax.lax.broadcasted_iota(jnp.int32, (byp, TX), 0)
+    # Channels fold into the matmul's M dimension: (3*BYP, WXD) @
+    # (WXD, TX) resolves the x-taps for the whole band in ONE MXU op per
+    # row (HIGHEST precision: with the one-hot/split weights the f32
+    # products reconstruct exactly).
+    win2 = win.reshape(3 * byp, wxd)
+    hi = jax.lax.Precision.HIGHEST
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (wxd, TX), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, TX), 1)
+    dio3 = jax.lax.broadcasted_iota(jnp.int32, (3 * byp, TX), 0)
+    dmod = jax.lax.rem(dio3, byp)  # per-channel band row ids
     for r in range(TY):
-        # exact bilinear x-weights per displacement: (D, TX)
-        q = (
-            wx0_ref[r, :][None, :] * (iota_d == dxl_ref[r, :][None, :]).astype(jnp.float32)
-            + wx1_ref[r, :][None, :] * (iota_d == dxr_ref[r, :][None, :]).astype(jnp.float32)
+        # exact bilinear x-weights at window-relative columns: (WXD, TX)
+        mx = (
+            wx0_ref[r, :][None, :]
+            * (iota_n == dxl_ref[r, :][None, :] + jj).astype(jnp.float32)
+            + wx1_ref[r, :][None, :]
+            * (iota_n == dxr_ref[r, :][None, :] + jj).astype(jnp.float32)
         )
-        m0 = dio == yl_ref[r, :][None, :]  # (BYP, TX)
-        m1 = dio == yr_ref[r, :][None, :]
-        for c in range(3):
-            cband = None  # x-resolved band: (BYP, TX)
-            for dd in range(d):
-                term = q[dd][None, :] * win[c, :, dd:dd + TX]
-                cband = term if cband is None else cband + term
-            s0 = jnp.sum(jnp.where(m0, cband, 0.0), axis=0)
-            s1 = jnp.sum(jnp.where(m1, cband, 0.0), axis=0)
-            out_ref[0, c, r, :] = wy0_ref[r, :] * s0 + wy1_ref[r, :] * s1
+        cband3 = jnp.dot(win2, mx, preferred_element_type=jnp.float32, precision=hi)
+        m0 = dmod == yl_ref[r, :][None, :]  # (3*BYP, TX)
+        m1 = dmod == yr_ref[r, :][None, :]
+        s0 = jnp.sum(jnp.where(m0, cband3, 0.0).reshape(3, byp, TX), axis=1)
+        s1 = jnp.sum(jnp.where(m1, cband3, 0.0).reshape(3, byp, TX), axis=1)
+        out_ref[0, :, r, :] = wy0_ref[r, :] * s0 + wy1_ref[r, :] * s1
 
 
 def warp_planar(imgs: jax.Array, tables: WarpTables, interpret: bool = False) -> jax.Array:
