@@ -242,10 +242,12 @@ def _warp_kernel(
 
     # Channels fold into the matmul's M dimension: (3*BYP, WXD) @
     # (WXD, TX) resolves the x-taps for the whole band in ONE MXU op per
-    # row (HIGHEST precision: with the one-hot/split weights the f32
-    # products reconstruct exactly).
+    # row. Hand-rolled 3-pass bf16 split (Mosaic lacks Precision.HIGH):
+    # dropping only the lo*lo product term bounds the relative error at
+    # ~2^-18 — ~260x below the uint8 LSB budget (verified on-chip).
     win2 = win.reshape(3 * byp, wxd)
-    hi = jax.lax.Precision.HIGHEST
+    w_hi = win2.astype(jnp.bfloat16)
+    w_lo = (win2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (wxd, TX), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, TX), 1)
     dio3 = jax.lax.broadcasted_iota(jnp.int32, (3 * byp, TX), 0)
@@ -258,7 +260,13 @@ def _warp_kernel(
             + wx1_ref[r, :][None, :]
             * (iota_n == dxr_ref[r, :][None, :] + jj).astype(jnp.float32)
         )
-        cband3 = jnp.dot(win2, mx, preferred_element_type=jnp.float32, precision=hi)
+        m_hi = mx.astype(jnp.bfloat16)
+        m_lo = (mx - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cband3 = (
+            jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, m_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, m_hi, preferred_element_type=jnp.float32)
+        )
         m0 = dmod == yl_ref[r, :][None, :]  # (3*BYP, TX)
         m1 = dmod == yr_ref[r, :][None, :]
         s0 = jnp.sum(jnp.where(m0, cband3, 0.0).reshape(3, byp, TX), axis=1)

@@ -17,8 +17,10 @@ def test_warp_kernel_matches_oracle(strength, rng):
     map_x, map_y = oracle.barrel_warp_maps(H, W, strength)
     for b in range(2):
         want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        # 3-pass bf16 split drops the lo*lo term: bound ~2*2^-18
+        # (~7.6e-6), 500x below the 1-LSB budget of 3.9e-3
         err = np.abs(got[b] - want).max()
-        assert err < 3e-6, f"strength={strength} err={err}"
+        assert err < 2e-5, f"strength={strength} err={err}"
 
 
 def test_warp_tables_reject_bad_shapes():
@@ -32,7 +34,7 @@ def test_warp_zero_strength_identityish(rng):
     imgs = rng.random((1, H, W, 3), dtype=np.float32)
     tables = kwarp.build_warp_tables(H, W, 0.0)
     got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
-    np.testing.assert_allclose(got[0], imgs[0], atol=1e-6)
+    np.testing.assert_allclose(got[0], imgs[0], atol=2e-5)
 
 
 class TestGlitchKernel:
@@ -51,7 +53,8 @@ class TestGlitchKernel:
         for b in range(B):
             per_px = seg_offs[b][:, seg_index]
             want = oracle.apply_glitch_gather(imgs[b], y0, per_px)
-            np.testing.assert_array_equal(got[b], want)
+            # 2-term bf16 value split: bound ~2^-17, 160x below 1 LSB
+            np.testing.assert_allclose(got[b], want, atol=1e-5)
 
     def test_shear_per_row_offsets(self, rng):
         from pythoncrt_tpu.kernels import glitch as kglitch
@@ -62,7 +65,7 @@ class TestGlitchKernel:
         offs = rng.normal(0, 200, (B, H - y0, 1)).astype(np.float32)  # big -> wraps
         got = np.asarray(kglitch.shear_band_batched(imgs, y0, offs, W, interpret=True))
         want = oracle.apply_glitch_gather(imgs[0], y0, offs[0, :, 0])
-        np.testing.assert_array_equal(got[0], want)
+        np.testing.assert_allclose(got[0], want, atol=1e-5)
 
     def test_rows_above_band_untouched(self, rng):
         from pythoncrt_tpu.kernels import glitch as kglitch
