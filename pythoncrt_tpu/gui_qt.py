@@ -19,7 +19,6 @@ hosts use the CLI).
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import numpy as np

@@ -1,17 +1,19 @@
 """Pallas TPU kernel for the glitch row-shear.
 
 The glitch gathers each bottom-band row by a per-(row, segment) pixel
-offset with modulo wrap (crt_filter.py:852-858). XLA lowers that
-take_along_axis to a scalar-loop gather (~13 ms/frame at 1080p,
-measured). The structure is friendlier than a general gather: within a
-row the offset is piecewise-constant over segments, and the modulo wrap
-is exactly a circular rotate — so each (row, segment) is one dynamic
-lane-roll of the row followed by a masked select:
+offset with modulo wrap (crt_filter.py:852-858):
 
-    out[x] = row[(x + off[r, seg(x)]) mod W] = roll(row, -off)[x]
+    out[x] = row[(x + off[r, seg(x)]) mod W]
 
-The one-hot matmul adds exact zeros plus a 2-term bf16 value split:
-error bound ~2^-17 relative, far below the <=1 LSB output contract.
+XLA lowers that take_along_axis to a scalar-loop gather (~13 ms/frame
+at 1080p, measured). Here the per-pixel source map u (computed
+elementwise by XLA from the per-segment offsets) drives a one-hot MXU
+matmul per (row, output tile): every added term is an exact zero except
+the selected value. Values ride in a 2-term bf16 hi/lo split (error
+bound ~2^-17 relative, far below the <=1 LSB output contract).
+Alternatives measured and rejected on this toolchain: dynamic
+per-(row, segment) lane-rolls (8.8 ms — DynamicRotate is multi-pass)
+and HIGHEST-precision f32 matmuls (6.1 ms vs 4.4 ms for this kernel).
 """
 
 from __future__ import annotations
@@ -21,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 TR = 8  # band rows per program (f32 sublane quantum)
 TX = 128  # output tile columns per matmul

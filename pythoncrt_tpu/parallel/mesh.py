@@ -20,12 +20,12 @@ the same two axes scale across TPU chips over ICI (SURVEY.md §2.3):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine import CRTEngine, FrameAux
 from ..ops import color as ocolor

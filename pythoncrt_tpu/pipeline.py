@@ -22,14 +22,14 @@ import queue
 import threading
 import time
 from pathlib import Path
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 
 from . import perf
 from .engine import CRTEngine
 from .io import video as vio
-from .params import EffectParams, TextParams
+from .params import EffectParams
 from .text import overlay_for
 
 DEFAULT_BATCH = 16
@@ -160,8 +160,6 @@ def process_video(
     if profile_dir:
         # xprof trace of the device work (SURVEY.md §5: tracing parity);
         # view with tensorboard or xprof.
-        import contextlib
-
         import jax
 
         profiler_ctx = jax.profiler.trace(profile_dir)
