@@ -160,6 +160,20 @@ class CRTEngine:
             y0, rows = _o.glitch_rows(self.h, p.glitch_height_frac)
             glitch_ok = rows > 0 and self.w % 128 == 0 and y0 - ((-rows) % 8) >= 0
         self._pallas_glitch = bool(enabled and glitch_ok)
+        # The fused bloom kernel (kernels/bloom.py) measured SLOWER than
+        # XLA's shifted-adds at 1080p (4.2-4.9 vs 1.7 ms/frame): Mosaic
+        # lowers its unaligned lane slices to multi-pass rotates. Kept
+        # for future work (PCRT_PALLAS_BLOOM=1 opts in); XLA is default.
+        self._pallas_bloom = bool(
+            enabled and p.bloom_on and not p.fast_bloom and shape_ok
+            and os.environ.get("PCRT_PALLAS_BLOOM") == "1"
+        )
+        if self._pallas_bloom:
+            from .kernels import bloom as _kb
+
+            self._bloom_spec = _kb.build_bloom_spec(
+                self.h, self.w, p.bloom_sigma, p.bloom_strength, p.bloom_threshold
+            )
         if self._pallas_warp:
             from .kernels import warp as _kw
 
@@ -251,9 +265,9 @@ class CRTEngine:
     # Per-frame chain (vmapped over the batch axis)
     # ------------------------------------------------------------------
 
-    def _frame_chain(self, c: dict, frame_u8: jax.Array, aux_row) -> jax.Array:
-        p, h, w = self.params, self.h, self.w
-        frame_idx, phase, flicker, noise, g_base, g_seg = aux_row
+    def _frame_pre_bloom(self, c: dict, frame_u8: jax.Array, aux_row) -> jax.Array:
+        """Stages 1-5 for one frame (vmapped)."""
+        p = self.params
         img = frame_u8.astype(jnp.float32) / 255.0  # stage 1
 
         if p.aberration_on:  # stage 2
@@ -275,18 +289,27 @@ class CRTEngine:
 
         if self._has_text and not p.text.after:  # stage 5
             img = ocolor.composite_text(img, c["text_alpha"], c["text_rgb"])
+        return img
 
-        if p.bloom_on:  # stage 6
-            src = img
-            if p.bloom_threshold > 0.0:
-                thr = np.float32(min(0.99, max(0.0, p.bloom_threshold)))
-                src = jnp.clip((img - thr) / np.float32(max(1e-6, 1.0 - float(thr))), 0.0, 1.0)
-            if p.fast_bloom:
-                ds = oresize.resize_bilinear(src, *c["bloom_down"])
-                blurred = oresize.resize_bilinear(ds, *c["bloom_up"])
-            else:
-                blurred = oblur.gaussian_blur_replicate(src, self._bloom_taps, self._bloom_taps)
-            img = jnp.clip(img + np.float32(p.bloom_strength) * blurred, 0.0, 1.0)
+    def _frame_bloom_xla(self, c: dict, img: jax.Array) -> jax.Array:
+        """Stage 6 (XLA path; the Pallas kernel replaces this on TPU for
+        the gaussian variant)."""
+        p = self.params
+        src = img
+        if p.bloom_threshold > 0.0:
+            thr = np.float32(min(0.99, max(0.0, p.bloom_threshold)))
+            src = jnp.clip((img - thr) / np.float32(max(1e-6, 1.0 - float(thr))), 0.0, 1.0)
+        if p.fast_bloom:
+            ds = oresize.resize_bilinear(src, *c["bloom_down"])
+            blurred = oresize.resize_bilinear(ds, *c["bloom_up"])
+        else:
+            blurred = oblur.gaussian_blur_replicate(src, self._bloom_taps, self._bloom_taps)
+        return jnp.clip(img + np.float32(p.bloom_strength) * blurred, 0.0, 1.0)
+
+    def _frame_post_bloom(self, c: dict, img: jax.Array, aux_row) -> jax.Array:
+        """Stages 7-11 for one frame (vmapped)."""
+        p = self.params
+        frame_idx, phase, flicker, noise, g_base, g_seg = aux_row
 
         if p.triad_on:  # stage 7
             img = ocolor.apply_triad(
@@ -352,10 +375,19 @@ class CRTEngine:
 
     def _batch_effects(self, frames_u8, aux: FrameAux, c: dict):
         """Full stateless chain over a batch: vmapped per-frame stages
-        1-11, then batch-level warp/text/glitch (stages 12-14) through
-        the Pallas kernels (or XLA fallbacks)."""
+        with the heavy structured ops (gaussian bloom 6, warp 12,
+        glitch 14) lifted to batch level for the Pallas kernels (or XLA
+        fallbacks)."""
         p = self.params
-        imgs = jax.vmap(functools.partial(self._frame_chain, c))(frames_u8, aux)
+        imgs = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
+        if p.bloom_on:  # stage 6
+            if self._pallas_bloom:
+                from .kernels import bloom as _kb
+
+                imgs = _kb.bloom_nhwc(imgs, self._bloom_spec, self._interpret)
+            else:
+                imgs = jax.vmap(functools.partial(self._frame_bloom_xla, c))(imgs)
+        imgs = jax.vmap(functools.partial(self._frame_post_bloom, c))(imgs, aux)
 
         if p.warp_on:  # stage 12
             if self._pallas_warp:

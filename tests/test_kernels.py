@@ -76,3 +76,60 @@ class TestGlitchKernel:
         offs = rng.normal(0, 3, (B, H - y0, W // L)).astype(np.float32)
         got = np.asarray(kglitch.shear_band_batched(imgs, y0, offs, L, interpret=True))
         np.testing.assert_array_equal(got[0, :y0], imgs[0, :y0])
+
+
+class TestBloomKernel:
+    @pytest.mark.parametrize("sigma,thr", [(1.2, 0.0), (2.0, 0.4), (0.5, 0.0)])
+    def test_bloom_matches_oracle(self, rng, sigma, thr):
+        from pythoncrt_tpu.kernels import bloom as kbloom
+
+        B, H, W, strength = 2, 32, 256, 0.3
+        imgs = rng.random((B, H, W, 3), dtype=np.float32)
+        spec = kbloom.build_bloom_spec(H, W, sigma, strength, thr)
+        got = np.asarray(kbloom.bloom_nhwc(imgs, spec, interpret=True))
+        k = max(1, int(round(sigma * 3)) * 2 + 1)
+        for b in range(B):
+            src = imgs[b]
+            if thr > 0:
+                t = np.float32(min(0.99, max(0.0, thr)))
+                src = np.clip((imgs[b] - t) / max(1e-6, 1.0 - float(t)), 0, 1)
+            blur = oracle.ops.gaussian_blur_replicate(src, k, k, sigma, sigma)
+            want = np.clip(imgs[b] + np.float32(0.3) * blur, 0, 1)
+            err = np.abs(got[b] - want).max()
+            assert err < 1e-5, f"sigma={sigma} thr={thr} err={err}"
+
+    def test_bloom_engine_parity_via_pallas(self, frames_small):
+        """Engine with interpret-mode pallas bloom matches the oracle."""
+        from test_engine_vs_oracle import assert_lsb, identity_params
+
+        import pythoncrt_tpu.engine as em
+        from pythoncrt_tpu import CRTEngine
+
+        p = identity_params(bloom_strength=0.4, bloom_sigma=1.5, fast_bloom=False,
+                            bloom_threshold=0.2)
+        eng = CRTEngine(p, 48, 64, 24.0, pallas="off")
+        # 48x64 fails shape gate (64 % 128 != 0): confirm pallas path off
+        eng2 = CRTEngine(p, 48, 64, 24.0, pallas="on", interpret=True)
+        assert not eng2._pallas_bloom
+        assert_lsb(eng, frames_small)
+
+    def test_bloom_kernel_in_engine_conforming_shape(self, rng):
+        from pythoncrt_tpu import CRTEngine, EffectParams, oracle as orc
+        from test_engine_vs_oracle import IDENTITY
+
+        d = dict(IDENTITY)
+        d.update(bloom_strength=0.35, bloom_sigma=1.2, fast_bloom=False)
+        p = EffectParams(**d)
+        import os
+
+        frames = rng.integers(0, 256, (3, 32, 256, 3), dtype=np.uint8)
+        os.environ["PCRT_PALLAS_BLOOM"] = "1"
+        try:
+            eng_px = CRTEngine(p, 32, 256, 24.0, pallas="on", interpret=True)
+        finally:
+            del os.environ["PCRT_PALLAS_BLOOM"]
+        assert eng_px._pallas_bloom
+        eng_ref = CRTEngine(p, 32, 256, 24.0, pallas="off")
+        a, _ = eng_px.process(frames)
+        b, _ = eng_ref.process(frames)
+        assert np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int)).max() <= 1
