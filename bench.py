@@ -83,6 +83,11 @@ def bench_oracle(params, h, w, n_frames):
         if p.noise_on
         else None
     )
+    # warmup (allocator/cache effects made the first frame ~2x noisier)
+    oracle.apply_effects(
+        frames[0], p, phase_px=0.0, time_sec=0.0,
+        triad=triad, vignette=vig, noise_field=noise,
+    )
     prev = None
     t0 = time.perf_counter()
     for i in range(n_frames):

@@ -36,18 +36,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Engine programs are large (the whole effect stack fuses into one XLA
-# program) and this rig's remote-compile path is slow (minutes at 1080p).
-# The persistent compilation cache works here (verified) and makes every
-# (params, shape) configuration a one-time compile across processes.
-if not os.environ.get("PCRT_NO_COMPILE_CACHE"):
-    _cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~/.cache"), "pythoncrt_tpu", "xla"),
-    )
+def _enable_compile_cache() -> None:
+    """Engine programs are large (the whole effect stack fuses into one
+    XLA program) and TPU compiles can take minutes; the persistent
+    compilation cache makes every (params, shape) configuration a
+    one-time compile across processes. TPU-only: cached CPU AOT results
+    are machine-feature-sensitive (observed cross-machine warnings)."""
+    if os.environ.get("PCRT_NO_COMPILE_CACHE"):
+        return
     try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        if jax.default_backend() != "tpu":
+            return
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~/.cache"), "pythoncrt_tpu", "xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:
         pass
 
@@ -115,6 +120,7 @@ class CRTEngine:
             raise ValueError(f"rng must be 'native' or 'host', got {rng!r}")
         if pallas not in ("auto", "on", "off"):
             raise ValueError(f"pallas must be auto/on/off, got {pallas!r}")
+        _enable_compile_cache()
         p = params.clamped()
         self.params = p
         self.h, self.w = int(height), int(width)
