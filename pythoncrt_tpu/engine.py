@@ -93,6 +93,11 @@ class CRTEngine:
       text_rgba: optional (H, W, 4) uint8 overlay (host-rasterized once;
         see pythoncrt_tpu.text).
       lut_exact: replicate the triad 1024-bin LUT quantization.
+      precision: "exact" (default; <=1 LSB vs the CPU oracle — hi/lo
+        bf16-split matmuls in the Pallas kernels, LUT-exact triad) or
+        "fast" (single-pass bf16 matmuls + direct pow; ~2^-8 relative
+        kernel error, up to a few uint8 LSB vs the oracle — a documented
+        deviation for throughput-first renders).
       assoc_scan: use an O(log B) associative scan for the persistence
         recurrence instead of lax.scan (throughput mode; same math, f32
         reassociation differences only).
@@ -110,6 +115,7 @@ class CRTEngine:
         seed: int = 0,
         text_rgba: Optional[np.ndarray] = None,
         lut_exact: bool = True,
+        precision: str = "exact",
         assoc_scan: bool = False,
         pallas: str = "auto",
         interpret: bool = False,
@@ -120,6 +126,8 @@ class CRTEngine:
             raise ValueError(f"rng must be 'native' or 'host', got {rng!r}")
         if pallas not in ("auto", "on", "off"):
             raise ValueError(f"pallas must be auto/on/off, got {pallas!r}")
+        if precision not in ("exact", "fast"):
+            raise ValueError(f"precision must be 'exact' or 'fast', got {precision!r}")
         _enable_compile_cache()
         p = params.clamped()
         self.params = p
@@ -128,7 +136,9 @@ class CRTEngine:
         self.engine = engine
         self.rng = rng
         self.seed = int(seed)
-        self.lut_exact = bool(lut_exact)
+        self.precision = precision
+        self._exact = precision == "exact"
+        self.lut_exact = bool(lut_exact) and self._exact
         self.assoc_scan = bool(assoc_scan)
         self._interpret = bool(interpret)
         self._resolve_pallas(pallas)
@@ -234,10 +244,22 @@ class CRTEngine:
                                         (*oops.bilinear_taps(gh, h), *oops.bilinear_taps(gw, w)))
 
         if p.warp_on:
-            map_x, map_y = oracle.barrel_warp_maps(h, w, p.warp_strength)
-            x0, fx = oops.split_map(map_x)
-            y0, fy = oops.split_map(map_y)
-            c["warp"] = tuple(jnp.asarray(a) for a in (y0, x0, fy, fx))
+            if self._pallas_warp:
+                from .kernels import warp as _kw
+
+                # One-hot matmul masks: ~2 GB at 1080p, built ON DEVICE
+                # (host->HBM would ship gigabytes; instead only the small
+                # (H, W) tables cross the bus) and passed as jit args so
+                # they live in HBM across steps.
+                t = self._warp_tables
+                c["warp_m"] = jax.jit(
+                    functools.partial(_kw.build_warp_masks, wxd=t.wxd, exact=self._exact)
+                )(t.dxl, t.dxr, t.wx0, t.wx1)
+            else:
+                map_x, map_y = oracle.barrel_warp_maps(h, w, p.warp_strength)
+                x0, fx = oops.split_map(map_x)
+                y0, fy = oops.split_map(map_y)
+                c["warp"] = tuple(jnp.asarray(a) for a in (y0, x0, fy, fx))
 
         if p.glitch_on:
             y0, rows = oracle.glitch_rows(h, p.glitch_height_frac)
@@ -399,7 +421,9 @@ class CRTEngine:
             if self._pallas_warp:
                 from .kernels import warp as _kw
 
-                imgs = _kw.warp_nhwc(imgs, self._warp_tables, self._interpret)
+                imgs = _kw.warp_nhwc(
+                    imgs, self._warp_tables, c["warp_m"], self._interpret, self._exact
+                )
             else:
                 imgs = jax.vmap(
                     lambda im: owarp.bilinear_gather_const0(im, *c["warp"])
@@ -417,7 +441,8 @@ class CRTEngine:
 
                 seg_len = self.w if self.engine == "preview" else self._glitch_seg_len
                 imgs = _kg.shear_band_batched(
-                    imgs, self._glitch_y0, seg_offs, seg_len, self._interpret
+                    imgs, self._glitch_y0, seg_offs, seg_len, self._interpret,
+                    self._exact,
                 )
             else:
                 if self.engine == "preview":

@@ -12,9 +12,12 @@ Per (TY x TX) output tile:
   2. one dynamic lane-slice removes the 128-alignment offset, leaving
      displacements in [0, D) where D is the *derivative* span of the
      map across a tile (~12 at strength 0.15, measured from the map);
-  3. horizontal taps resolve as a static delta-loop of masked
-     multiply-adds on the VPU: C[d, j] = sum_delta q[delta, j] *
-     win[d, j+delta] — q carries the exact bilinear x-weights;
+  3. horizontal taps resolve as one MXU matmul per tile row against a
+     PRECOMPUTED one-hot bilinear-weight mask (hi/lo bf16 pair, built
+     once per (H, W, strength) on device and stored in HBM — the masks
+     are static across frames, and with the batch as the innermost grid
+     dimension each tile's mask is DMA'd once and reused for the whole
+     batch, removing ~5 G VPU ops/frame of in-kernel mask building);
   4. vertical taps resolve with an iota-compare band select.
 
 All weights are the oracle's bilinear weights with out-of-bounds taps
@@ -179,29 +182,70 @@ def build_warp_tables(h: int, w: int, strength: float) -> WarpTables:
     )
 
 
+def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True):
+    """One-hot bilinear x-weight masks per (tile, tile-row), as the
+    hi/lo bf16 pair the kernel's 3-pass split consumes directly.
+
+    Returns (m_hi, m_lo), each (yt*xt, TY, WXD, TX) bf16 — or just
+    (m_hi,) when exact=False (the single-pass "fast" precision mode,
+    which also halves mask HBM and per-tile DMA). Pure jnp so it
+    runs on device (jit it); the values are exactly what the kernel used
+    to build per tile-row on the VPU: at most one of the two one-hot
+    terms is nonzero per (k, j) (dxr = dxl+1 when both taps are valid;
+    invalid taps carry zero weight), so mx is exact in f32 and the split
+    is deterministic round-to-nearest-even.
+    """
+    h, w = dxl.shape
+    yt, xt = h // TY, w // TX
+
+    def tile(a):  # (H, W) -> (nt, TY, 1, TX)
+        return (
+            jnp.asarray(a)
+            .reshape(yt, TY, xt, TX)
+            .transpose(0, 2, 1, 3)
+            .reshape(yt * xt, TY, 1, TX)
+        )
+
+    jj = jnp.arange(TX, dtype=jnp.int32)
+    iota = jnp.arange(wxd, dtype=jnp.int32)[:, None]  # (WXD, 1)
+    mx = (
+        tile(wx0) * (iota == tile(dxl) + jj).astype(jnp.float32)
+        + tile(wx1) * (iota == tile(dxr) + jj).astype(jnp.float32)
+    )  # (nt, TY, WXD, TX) f32
+    m_hi = mx.astype(jnp.bfloat16)
+    if not exact:
+        return (m_hi,)
+    m_lo = (mx - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return m_hi, m_lo
+
+
 def _warp_kernel(
     by_ref, wx_ref, off_ref,  # scalar prefetch (yt, xt) int32
     img_ref,  # (B, 3, H, W) f32, ANY (manual DMA)
-    dxl_ref, dxr_ref, wx0_ref, wx1_ref,  # (TY, TX) blocks
-    yl_ref, yr_ref, wy0_ref, wy1_ref,
-    out_ref,  # (1, 3, TY, TX) block
-    win_ref, sem,  # scratch: (2, 3, BYP, WXPF) VMEM, DMA sems (2,)
-    *, byp: int, wxp: int, d: int, wxd: int, pad: int,
+    *refs,  # mask blocks (1 or 2), y tables, out, scratch (see unpack)
+    byp: int, wxp: int, d: int, wxd: int, pad: int, exact: bool,
 ):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    yt = pl.num_programs(1)
-    xt = pl.num_programs(2)
-    t = (b * yt + i) * xt + j
-    n_t = pl.num_programs(0) * yt * xt
+    if exact:
+        mhi_ref, mlo_ref, yl_ref, yr_ref, wy0_ref, wy1_ref, out_ref, win_ref, sem = refs
+    else:
+        mhi_ref, yl_ref, yr_ref, wy0_ref, wy1_ref, out_ref, win_ref, sem = refs
+        mlo_ref = None
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+    xt = pl.num_programs(1)
+    nb = pl.num_programs(2)
+    # Batch innermost: per-tile blocks (masks, y tables) are fetched once
+    # per tile and reused across all NB batch frames by the pipeline.
+    t = (i * xt + j) * nb + b
+    n_t = pl.num_programs(0) * xt * nb
     slot = jax.lax.rem(t, 2)
     nslot = jax.lax.rem(t + 1, 2)
 
     def start_window_dma(tt, sl):
-        jj = jax.lax.rem(tt, xt)
-        ii = jax.lax.rem(tt // xt, yt)
-        bb = tt // (xt * yt)
+        bb = jax.lax.rem(tt, nb)
+        jj = jax.lax.rem(tt // nb, xt)
+        ii = tt // (nb * xt)
         by = pl.multiple_of(by_ref[ii, jj], 8)
         wx = pl.multiple_of(wx_ref[ii, jj], TX)
         for c in range(3):
@@ -247,26 +291,23 @@ def _warp_kernel(
     # ~2^-18 — ~260x below the uint8 LSB budget (verified on-chip).
     win2 = win.reshape(3 * byp, wxd)
     w_hi = win2.astype(jnp.bfloat16)
-    w_lo = (win2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (wxd, TX), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, TX), 1)
+    if exact:
+        w_lo = (win2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dio3 = jax.lax.broadcasted_iota(jnp.int32, (3 * byp, TX), 0)
     dmod = jax.lax.rem(dio3, byp)  # per-channel band row ids
     for r in range(TY):
-        # exact bilinear x-weights at window-relative columns: (WXD, TX)
-        mx = (
-            wx0_ref[r, :][None, :]
-            * (iota_n == dxl_ref[r, :][None, :] + jj).astype(jnp.float32)
-            + wx1_ref[r, :][None, :]
-            * (iota_n == dxr_ref[r, :][None, :] + jj).astype(jnp.float32)
-        )
-        m_hi = mx.astype(jnp.bfloat16)
-        m_lo = (mx - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        cband3 = (
-            jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(w_hi, m_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(w_lo, m_hi, preferred_element_type=jnp.float32)
-        )
+        m_hi = mhi_ref[0, r]  # (WXD, TX) precomputed one-hot weights
+        if exact:
+            m_lo = mlo_ref[0, r]
+            cband3 = (
+                jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(w_hi, m_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(w_lo, m_hi, preferred_element_type=jnp.float32)
+            )
+        else:
+            # fast mode: one bf16 pass (~2^-8 relative — up to ~1 uint8
+            # LSB; a documented deviation from the exact contract)
+            cband3 = jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
         m0 = dmod == yl_ref[r, :][None, :]  # (3*BYP, TX)
         m1 = dmod == yr_ref[r, :][None, :]
         s0 = jnp.sum(jnp.where(m0, cband3, 0.0).reshape(3, byp, TX), axis=1)
@@ -274,28 +315,46 @@ def _warp_kernel(
         out_ref[0, :, r, :] = wy0_ref[r, :] * s0 + wy1_ref[r, :] * s1
 
 
-def warp_planar(imgs: jax.Array, tables: WarpTables, interpret: bool = False) -> jax.Array:
+def warp_planar(
+    imgs: jax.Array,
+    tables: WarpTables,
+    masks=None,
+    interpret: bool = False,
+    exact: bool = True,
+) -> jax.Array:
     """(B, 3, H, W) f32 -> (B, 3, H, W) f32 barrel-warped. (Not jitted
-    itself — callers trace it inside the engine's jitted step.)"""
+    itself — callers trace it inside the engine's jitted step.)
+
+    masks: the (m_hi, m_lo) pair from build_warp_masks. The engine
+    builds them ONCE per config and passes them as jit arguments (they
+    are ~2 GB at 1080p — rebuilding per step or embedding as literals
+    would be ruinous); None rebuilds inline (tests / one-shot use).
+    """
     b = imgs.shape[0]
     t = tables
     yt, xt = t.grid
+    if masks is None:
+        masks = build_warp_masks(t.dxl, t.dxr, t.wx0, t.wx1, wxd=t.wxd, exact=exact)
+    if len(masks) != (2 if exact else 1):
+        raise ValueError(f"expected {2 if exact else 1} mask arrays, got {len(masks)}")
     # index maps receive (grid indices..., *scalar_prefetch_refs)
-    tile = lambda bb, i, j, *_: (i, j)  # noqa: E731
+    tile = lambda i, j, bb, *_: (i, j)  # noqa: E731
+    mtile = lambda i, j, bb, *_: (i * xt + j, 0, 0, 0)  # noqa: E731
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, yt, xt),
+        grid=(yt, xt, b),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # img
-        + [pl.BlockSpec((TY, TX), tile)] * 8,  # dxl dxr wx0 wx1 yl yr wy0 wy1
-        out_specs=pl.BlockSpec((1, 3, TY, TX), lambda bb, i, j, *_: (bb, 0, i, j)),
+        + [pl.BlockSpec((1, TY, t.wxd, TX), mtile)] * len(masks)
+        + [pl.BlockSpec((TY, TX), tile)] * 4,  # yl yr wy0 wy1
+        out_specs=pl.BlockSpec((1, 3, TY, TX), lambda i, j, bb, *_: (bb, 0, i, j)),
         scratch_shapes=[
             pltpu.VMEM((2, 3, t.byp, t.wxpf), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(
-        _warp_kernel, byp=t.byp, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad
+        _warp_kernel, byp=t.byp, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad, exact=exact
     )
     return pl.pallas_call(
         kern,
@@ -304,15 +363,20 @@ def warp_planar(imgs: jax.Array, tables: WarpTables, interpret: bool = False) ->
         interpret=interpret,
     )(
         jnp.asarray(t.by), jnp.asarray(t.wx), jnp.asarray(t.off), imgs,
-        jnp.asarray(t.dxl), jnp.asarray(t.dxr),
-        jnp.asarray(t.wx0), jnp.asarray(t.wx1),
+        *masks,
         jnp.asarray(t.ylrel), jnp.asarray(t.yrrel),
         jnp.asarray(t.wy0), jnp.asarray(t.wy1),
     )
 
 
-def warp_nhwc(imgs: jax.Array, tables: WarpTables, interpret: bool = False) -> jax.Array:
+def warp_nhwc(
+    imgs: jax.Array,
+    tables: WarpTables,
+    masks=None,
+    interpret: bool = False,
+    exact: bool = True,
+) -> jax.Array:
     """(B, H, W, 3) f32 -> warped, via the planar kernel."""
     planar = jnp.transpose(imgs, (0, 3, 1, 2))
-    out = warp_planar(planar, tables, interpret)
+    out = warp_planar(planar, tables, masks, interpret, exact)
     return jnp.transpose(out, (0, 2, 3, 1))
