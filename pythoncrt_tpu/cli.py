@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rng", type=str, default="native", choices=["native", "host"],
                    help="noise/glitch randomness source")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", type=str, default="exact",
+                   choices=["exact", "fast"],
+                   help="'exact' keeps <=1 LSB parity with the CPU "
+                        "reference; 'fast' trades up to a few LSB for "
+                        "throughput (single-pass bf16 kernels, direct pow)")
     p.add_argument("--assoc-scan", action="store_true",
                    help="O(log B) associative persistence scan (throughput mode)")
     p.add_argument("--pipe-format", type=str, default="rgb24",
@@ -179,6 +184,7 @@ def main(argv=None) -> int:
         rng=str(a.rng),
         seed=int(a.seed),
         assoc_scan=bool(a.assoc_scan),
+        precision=str(a.precision),
         pipe_format=str(a.pipe_format),
         profile_dir=a.profile or None,
     )

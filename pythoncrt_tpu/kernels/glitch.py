@@ -28,7 +28,7 @@ TR = 8  # band rows per program (f32 sublane quantum)
 TX = 128  # output tile columns per matmul
 
 
-def _glitch_kernel(band_ref, u_ref, out_ref, *, w: int):
+def _glitch_kernel(band_ref, u_ref, out_ref, *, w: int, exact: bool):
     # band_ref: (1, 3, TR, W) f32; u_ref: (1, TR, W) int32 source columns
     # in [0, W). The gather runs as a one-hot MXU matmul per (row, output
     # tile). Two bf16 passes (hi + residual) reconstruct 16 mantissa
@@ -39,17 +39,21 @@ def _glitch_kernel(band_ref, u_ref, out_ref, *, w: int):
     for r in range(TR):
         row3 = band_ref[0, :, r, :]  # (3, W)
         r_hi = row3.astype(jnp.bfloat16)
-        r_lo = (row3 - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if exact:
+            r_lo = (row3 - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         u_r = u_ref[0, r, :]  # (W,)
         for jt in range(w // TX):
             m = (iota_n == u_r[jt * TX:(jt + 1) * TX][None, :]).astype(jnp.bfloat16)
-            out_ref[0, :, r, jt * TX:(jt + 1) * TX] = (
-                jnp.dot(r_hi, m, preferred_element_type=jnp.float32)
-                + jnp.dot(r_lo, m, preferred_element_type=jnp.float32)
-            )
+            acc = jnp.dot(r_hi, m, preferred_element_type=jnp.float32)
+            if exact:
+                acc = acc + jnp.dot(r_lo, m, preferred_element_type=jnp.float32)
+            # fast (exact=False): single bf16 pass, ~2^-8 relative error
+            out_ref[0, :, r, jt * TX:(jt + 1) * TX] = acc
 
 
-def shear_planar(band: jax.Array, u: jax.Array, interpret: bool = False) -> jax.Array:
+def shear_planar(
+    band: jax.Array, u: jax.Array, interpret: bool = False, exact: bool = True
+) -> jax.Array:
     """band (B, 3, R, W) f32; u (B, R, W) int32 source columns in [0, W):
     out[b, c, r, x] = band[b, c, r, u[b, r, x]].
     Requires R % 8 == 0 and W % 128 == 0."""
@@ -57,7 +61,7 @@ def shear_planar(band: jax.Array, u: jax.Array, interpret: bool = False) -> jax.
     assert r % TR == 0 and w % 128 == 0, (r, w)
     grid = (b, r // TR)
     return pl.pallas_call(
-        functools.partial(_glitch_kernel, w=w),
+        functools.partial(_glitch_kernel, w=w, exact=exact),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 3, TR, w), lambda bb, rb: (bb, 0, rb, 0)),
@@ -75,6 +79,7 @@ def shear_band_batched(
     seg_offsets_px: jax.Array,
     seg_len: int,
     interpret: bool = False,
+    exact: bool = True,
 ) -> jax.Array:
     """Batched glitch: imgs (B, H, W, 3) f32; seg_offsets_px (B, rows,
     NSEG) f32 — the per-(row, segment) offsets BEFORE rounding (the
@@ -98,7 +103,7 @@ def shear_band_batched(
         u_band = jnp.concatenate([ident, u_band], axis=1)
 
     band = jnp.transpose(imgs[:, y0p:], (0, 3, 1, 2))  # (B, 3, RP, W)
-    out_band = shear_planar(band, u_band, interpret)
+    out_band = shear_planar(band, u_band, interpret, exact)
     out_band = jnp.transpose(out_band, (0, 2, 3, 1))  # (B, RP, W, 3)
     # keep ORIGINAL rows above y0 (the pad rows went through the kernel
     # only to satisfy the 8-row grid; their values must pass through

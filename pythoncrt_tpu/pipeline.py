@@ -86,6 +86,7 @@ def process_video(
     rng: str = "native",
     seed: int = 0,
     assoc_scan: bool = False,
+    precision: str = "exact",
     pipe_format: str = "rgb24",
     sharding: str = "auto",
     progress_cb: Optional[Callable[[float], None]] = None,
@@ -119,7 +120,7 @@ def process_video(
         eng = CRTEngine(
             params, out_h, out_w, fps_out,
             engine=engine_mode, rng=rng, seed=seed,
-            text_rgba=text_rgba, assoc_scan=assoc_scan,
+            text_rgba=text_rgba, assoc_scan=assoc_scan, precision=precision,
         )
         runner = eng
         if sharding == "auto":

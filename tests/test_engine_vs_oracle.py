@@ -121,6 +121,35 @@ def test_kitchen_sink_full_stack(frames_small):
     assert_lsb(eng, frames_small)
 
 
+def test_fast_precision_close_not_exact(frames_small):
+    """--precision fast: documented deviation — within a few LSB of the
+    oracle (direct pow instead of the LUT-exact triad path here; the
+    kernels' single-pass bf16 split is covered in test_kernels)."""
+    p = EffectParams(
+        scanline_strength=0.6, triad_strength=0.4, triad_gamma=2.2,
+        triad_preserve_luma=True, vignette_strength=0.25, gamma=1.2,
+        persistence=0.0, pixel_size=1, aberration_px=0,
+        bloom_strength=0.0, noise_strength=0.0, fast_bloom=False,
+        glitch_amp_px=0, glitch_height_frac=0.0,
+    )
+    eng = CRTEngine(p, H, W, FPS, rng="host", precision="fast")
+    assert not eng.lut_exact
+    got, _ = eng.process(frames_small)
+    want = render_oracle(eng, frames_small)
+    diff = np.abs(np.asarray(got).astype(np.int32) - want.astype(np.int32))
+    # pow(1/g) has unbounded slope at 0, so skipping the LUT quantization
+    # legitimately moves near-black pixels by ~10 LSB; bulk error stays
+    # far smaller. Bounds chosen to catch real breakage, not the
+    # documented deviation.
+    assert diff.max() <= 16, f"fast mode drifted {diff.max()} LSB"
+    assert diff.mean() <= 0.5, f"fast mode mean drift {diff.mean():.3f} LSB"
+
+
+def test_engine_rejects_bad_precision(frames_small):
+    with pytest.raises(ValueError):
+        CRTEngine(EffectParams(), H, W, FPS, precision="medium")
+
+
 def test_persistence_scan_parity(frames_small):
     p = identity_params(persistence=0.8, scanline_strength=0.4)
     eng = CRTEngine(p, H, W, FPS)

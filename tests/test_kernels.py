@@ -23,6 +23,26 @@ def test_warp_kernel_matches_oracle(strength, rng):
         assert err < 2e-5, f"strength={strength} err={err}"
 
 
+def test_warp_kernel_fast_mode_tolerance(rng):
+    """exact=False (--precision fast): single bf16 pass, error bounded by
+    ~2^-8 relative (up to a couple of uint8 LSB) — and masks shrink to
+    one array."""
+    imgs = rng.random((2, H, W, 3), dtype=np.float32)
+    tables = kwarp.build_warp_tables(H, W, 0.3)
+    masks = kwarp.build_warp_masks(
+        tables.dxl, tables.dxr, tables.wx0, tables.wx1,
+        wxd=tables.wxd, exact=False,
+    )
+    assert len(masks) == 1
+    got = np.asarray(kwarp.warp_nhwc(imgs, tables, masks, True, False))
+    map_x, map_y = oracle.barrel_warp_maps(H, W, 0.3)
+    for b in range(2):
+        want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        err = np.abs(got[b] - want).max()
+        assert err < 2e-2, f"fast-mode err={err}"
+        assert err > 0  # it IS the approximate path
+
+
 def test_warp_tables_reject_bad_shapes():
     with pytest.raises(ValueError):
         kwarp.build_warp_tables(30, 256, 0.2)
