@@ -164,7 +164,12 @@ def build_warp_tables(h: int, w: int, strength: float) -> WarpTables:
     off = (s_t - wx_org + pad).astype(np.int32)
     assert int(off.min()) >= 0
     d = int((e_t - s_t).max()) + 1
-    wxd = _round_up(d + TX, TX)
+    # The matmul K dimension: every output column j's taps live in
+    # [j, j+D), so K = TX + D covers the tile. Only sublane (8)
+    # alignment is needed — K is the mask's second-to-last dim and a
+    # STATIC lane-slice width on the window; rounding to 128 would pay
+    # up to 60% extra MACs for padding.
+    wxd = _round_up(d + TX, 8)
     wxpf = max(pad + wxp, _round_up(int(off.max()) + wxd, TX))
     dxl = np.where(v0x, dl - s_t[:, None, :, None], 0).reshape(h, w).astype(np.int32)
     dxr = np.where(v1x, dr - s_t[:, None, :, None], 0).reshape(h, w).astype(np.int32)
@@ -186,7 +191,7 @@ def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True):
     """One-hot bilinear x-weight masks per (tile, tile-row), as the
     hi/lo bf16 pair the kernel's 3-pass split consumes directly.
 
-    Returns (m_hi, m_lo), each (yt*xt, TY, WXD, TX) bf16 — or just
+    Returns (m_hi, m_lo), each (yt*xt, WXD, TY*TX) bf16 — or just
     (m_hi,) when exact=False (the single-pass "fast" precision mode,
     which also halves mask HBM and per-tile DMA). Pure jnp so it
     runs on device (jit it); the values are exactly what the kernel used
@@ -212,6 +217,10 @@ def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True):
         tile(wx0) * (iota == tile(dxl) + jj).astype(jnp.float32)
         + tile(wx1) * (iota == tile(dxr) + jj).astype(jnp.float32)
     )  # (nt, TY, WXD, TX) f32
+    # Lay the TY row-masks side by side along N: the kernel resolves all
+    # 8 tile rows with ONE (3*BYP, WXD) @ (WXD, TY*TX) matmul per pass
+    # instead of 8 small ones (better MXU pipelining, same FLOPs).
+    mx = mx.transpose(0, 2, 1, 3).reshape(mx.shape[0], wxd, TY * TX)
     m_hi = mx.astype(jnp.bfloat16)
     if not exact:
         return (m_hi,)
@@ -222,7 +231,7 @@ def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True):
 def _warp_kernel(
     by_ref, wx_ref, off_ref,  # scalar prefetch (yt, xt) int32
     img_ref,  # (B, 3, H, W) f32, ANY (manual DMA)
-    *refs,  # mask blocks (1 or 2), y tables, out, scratch (see unpack)
+    *refs,  # (1, WXD, TY*TX) mask blocks (1 or 2), y tables, out, scratch
     byp: int, wxp: int, d: int, wxd: int, pad: int, exact: bool,
 ):
     if exact:
@@ -295,19 +304,20 @@ def _warp_kernel(
         w_lo = (win2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dio3 = jax.lax.broadcasted_iota(jnp.int32, (3 * byp, TX), 0)
     dmod = jax.lax.rem(dio3, byp)  # per-channel band row ids
+    m_hi = mhi_ref[0]  # (WXD, TY*TX): all 8 row-masks side by side
+    if exact:
+        m_lo = mlo_ref[0]
+        cband_all = (
+            jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, m_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, m_hi, preferred_element_type=jnp.float32)
+        )
+    else:
+        # fast mode: one bf16 pass (~2^-8 relative — up to ~1 uint8
+        # LSB; a documented deviation from the exact contract)
+        cband_all = jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
     for r in range(TY):
-        m_hi = mhi_ref[0, r]  # (WXD, TX) precomputed one-hot weights
-        if exact:
-            m_lo = mlo_ref[0, r]
-            cband3 = (
-                jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
-                + jnp.dot(w_hi, m_lo, preferred_element_type=jnp.float32)
-                + jnp.dot(w_lo, m_hi, preferred_element_type=jnp.float32)
-            )
-        else:
-            # fast mode: one bf16 pass (~2^-8 relative — up to ~1 uint8
-            # LSB; a documented deviation from the exact contract)
-            cband3 = jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
+        cband3 = cband_all[:, r * TX:(r + 1) * TX]
         m0 = dmod == yl_ref[r, :][None, :]  # (3*BYP, TX)
         m1 = dmod == yr_ref[r, :][None, :]
         s0 = jnp.sum(jnp.where(m0, cband3, 0.0).reshape(3, byp, TX), axis=1)
@@ -339,13 +349,13 @@ def warp_planar(
         raise ValueError(f"expected {2 if exact else 1} mask arrays, got {len(masks)}")
     # index maps receive (grid indices..., *scalar_prefetch_refs)
     tile = lambda i, j, bb, *_: (i, j)  # noqa: E731
-    mtile = lambda i, j, bb, *_: (i * xt + j, 0, 0, 0)  # noqa: E731
+    mtile = lambda i, j, bb, *_: (i * xt + j, 0, 0)  # noqa: E731
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(yt, xt, b),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # img
-        + [pl.BlockSpec((1, TY, t.wxd, TX), mtile)] * len(masks)
+        + [pl.BlockSpec((1, t.wxd, TY * TX), mtile)] * len(masks)
         + [pl.BlockSpec((TY, TX), tile)] * 4,  # yl yr wy0 wy1
         out_specs=pl.BlockSpec((1, 3, TY, TX), lambda i, j, bb, *_: (bb, 0, i, j)),
         scratch_shapes=[
