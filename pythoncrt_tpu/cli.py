@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["rgb24", "yuv420p"],
                    help="rawvideo decode pipe format (yuv420p halves pipe "
                         "bandwidth; host converts via the native kernel)")
+    p.add_argument("--segment-frames", type=int, default=0,
+                   help="checkpoint the render every N frames (segment "
+                        "files + resume journal; re-running the same "
+                        "command resumes after a crash); 0 disables")
     p.add_argument("--profile", type=str, default="",
                    help="write an xprof/jax.profiler trace of the render "
                         "to this directory")
@@ -186,6 +190,7 @@ def main(argv=None) -> int:
         assoc_scan=bool(a.assoc_scan),
         precision=str(a.precision),
         pipe_format=str(a.pipe_format),
+        segment_frames=max(0, int(a.segment_frames)),
         profile_dir=a.profile or None,
     )
     print("Hardware encoder used" if used_gpu else "CPU encoder used")

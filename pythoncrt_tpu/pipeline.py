@@ -35,13 +35,24 @@ from .text import overlay_for
 DEFAULT_BATCH = 16
 
 
-def _feeder(reader, batch_size: int, out_q: queue.Queue, stop: threading.Event) -> None:
-    """Decode thread: accumulate frames into (B, H, W, 3) batches."""
+def _feeder(
+    reader, batch_size: int, out_q: queue.Queue, stop: threading.Event,
+    skip: int = 0,
+) -> None:
+    """Decode thread: accumulate frames into (B, H, W, 3) batches.
+
+    skip: decode-and-drop this many leading frames (segment resume);
+    batch indices continue at the absolute frame position so phase /
+    flicker / RNG keys are identical to an uninterrupted render.
+    """
     try:
-        buf, idx0, n = [], 0, 0
+        buf, idx0, n = [], skip, skip
         for frame in perf.timed_iter(reader.iter_frames(), "io.decode"):
             if stop.is_set():
                 break
+            if skip > 0:
+                skip -= 1
+                continue
             buf.append(frame)
             n += 1
             if len(buf) == batch_size:
@@ -67,6 +78,55 @@ def _writer_loop(writer, in_q: queue.Queue, progress, total_frames: int) -> None
             progress(min(1.0, written / float(total_frames)))
 
 
+def _segment_writer_loop(
+    store, seg_len: int, w: int, h: int, fps: float,
+    start_seg: int, start_frames: int,
+    in_q: queue.Queue, progress, total_frames: int,
+    enc_kwargs: dict, box: dict,
+) -> None:
+    """Encode thread, segment mode: rotate a fresh segment writer every
+    seg_len frames; a completed segment commits (file close -> carry
+    snapshot -> journal line) before the next opens. Items are
+    (frames, carry_state_or_None); the sentinel ("eof",) commits the
+    partial tail, ("abort",) leaves it unjournaled for the resume to
+    re-render."""
+    seg, written_in_seg, total_written = start_seg, 0, start_frames
+    cur = None
+
+    def close_seg(mark: bool, state=None) -> None:
+        nonlocal cur, seg, written_in_seg
+        if cur is None:
+            return
+        cur.close()
+        if mark:
+            store.mark_done(seg, written_in_seg, state)
+            seg += 1
+        cur, written_in_seg = None, 0
+
+    while True:
+        item = in_q.get()
+        if item is None or isinstance(item[0], str):
+            close_seg(mark=item is not None and item[0] == "eof")
+            break
+        frames, state = item
+        with perf.timed("io.encode"):
+            for frame in frames:
+                if cur is None:
+                    cur, gpu = vio.open_writer(
+                        str(store.seg_path(seg)), w, h, fps, **enc_kwargs
+                    )
+                    box.setdefault("used_gpu", gpu)
+                cur.write_frame(frame)
+                written_in_seg += 1
+                total_written += 1
+        # seg_len is batch-aligned, so boundaries land on item ends
+        if written_in_seg >= seg_len:
+            close_seg(mark=True, state=state)
+        if progress is not None and total_frames > 0:
+            progress(min(1.0, total_written / float(total_frames)))
+    box["segments"] = seg
+
+
 def process_video(
     input_path: str | Path,
     output_path: str | Path,
@@ -89,9 +149,11 @@ def process_video(
     precision: str = "exact",
     pipe_format: str = "rgb24",
     sharding: str = "auto",
+    segment_frames: int = 0,
     progress_cb: Optional[Callable[[float], None]] = None,
     report: bool = True,
     profile_dir: Optional[str] = None,
+    _fail_after_frames: int = 0,
 ) -> bool:
     """Render ``input_path`` through the effect chain to ``output_path``.
 
@@ -101,6 +163,12 @@ def process_video(
     sharding: "auto" shards each batch's frame axis across all local
     devices when more than one is visible (persistence carry crosses
     shard boundaries on-device); "none" forces single-device.
+
+    segment_frames > 0 enables intra-render checkpointing: output is
+    written as batch-aligned segments with a resume journal (see
+    segments.py) and assembled at the end; re-running the same command
+    after a crash resumes from the first unfinished segment.
+    _fail_after_frames is a test hook that injects a crash.
     """
     input_path, output_path = Path(input_path), Path(output_path)
     info = vio.probe_clip(input_path)
@@ -137,25 +205,71 @@ def process_video(
     reader = vio.open_reader(
         str(input_path), out_w, out_h, fps_out, decoder_preference, pipe_format
     )
-    writer, used_gpu = vio.open_writer(
-        str(output_path), out_w, out_h, fps_out,
-        encoder_preference=encoder_preference, gpu=gpu, crf=crf,
-        bitrate_kbps=target_bitrate_kbps, nvenc_preset=nvenc_preset,
-        audio_path=audio_path,
-    )
+
+    segmented = segment_frames > 0
+    writer = None
+    used_gpu = False
+    skip = 0
+    state = None
+    seg_box: dict = {}
+    store = None
+    seg_len = 0
+    if segmented:
+        import dataclasses
+
+        from .segments import SegmentStore
+
+        # batch-aligned segment length: boundaries land on batch ends so
+        # the carry snapshot accompanies the batch that closes a segment
+        seg_len = max(batch_size, -(-int(segment_frames) // batch_size) * batch_size)
+        sig = {
+            "w": out_w, "h": out_h, "fps": fps_out, "seg": seg_len,
+            "engine": engine_mode, "rng": rng, "seed": seed,
+            "precision": precision,
+            "params": dataclasses.asdict(params.clamped()),
+        }
+        store = SegmentStore(output_path, sig)
+        next_seg, skip, seg_state = store.resume()
+        store.begin(next_seg)
+        if seg_state is not None:
+            import jax.numpy as jnp
+
+            state = jnp.asarray(seg_state)
+        enc_kwargs = dict(
+            encoder_preference=encoder_preference, gpu=gpu, crf=crf,
+            bitrate_kbps=target_bitrate_kbps, nvenc_preset=nvenc_preset,
+            audio_path=None,  # audio is muxed at merge time
+        )
+    else:
+        writer, used_gpu = vio.open_writer(
+            str(output_path), out_w, out_h, fps_out,
+            encoder_preference=encoder_preference, gpu=gpu, crf=crf,
+            bitrate_kbps=target_bitrate_kbps, nvenc_preset=nvenc_preset,
+            audio_path=audio_path,
+        )
 
     decode_q: queue.Queue = queue.Queue(maxsize=4)
     encode_q: queue.Queue = queue.Queue(maxsize=4)
     stop = threading.Event()
-    t_dec = threading.Thread(target=_feeder, args=(reader, batch_size, decode_q, stop), daemon=True)
-    t_enc = threading.Thread(
-        target=_writer_loop, args=(writer, encode_q, progress_cb, total_frames), daemon=True
+    t_dec = threading.Thread(
+        target=_feeder, args=(reader, batch_size, decode_q, stop, skip), daemon=True
     )
+    if segmented:
+        t_enc = threading.Thread(
+            target=_segment_writer_loop,
+            args=(store, seg_len, out_w, out_h, fps_out, next_seg, skip,
+                  encode_q, progress_cb, total_frames, enc_kwargs, seg_box),
+            daemon=True,
+        )
+    else:
+        t_enc = threading.Thread(
+            target=_writer_loop, args=(writer, encode_q, progress_cb, total_frames),
+            daemon=True,
+        )
     t_dec.start()
     t_enc.start()
 
-    frames_done = 0
-    state = None
+    frames_done = skip
     pending = None  # device batch in flight
     profiler_ctx = None
     if profile_dir:
@@ -165,36 +279,66 @@ def process_video(
 
         profiler_ctx = jax.profiler.trace(profile_dir)
         profiler_ctx.__enter__()
-    try:
-        while True:
-            item = decode_q.get()
-            if item is None:
-                break
-            idx0, batch = item
-            with perf.timed("fx.dispatch"):
-                # the sharded runner needs mesh-divisible batches; the
-                # stream tail falls back to the single-device engine
-                use = runner if batch.shape[0] == batch_size else eng
-                out_dev, state = use.process(
-                    batch, np.arange(idx0, idx0 + batch.shape[0]), state=state
+    clean = False
+
+    def enqueue(p):
+        with perf.timed("fx.device_wait"):
+            if segmented:
+                out_dev, st = p
+                encode_q.put(
+                    (np.asarray(out_dev), None if st is None else np.asarray(st))
                 )
-                out_dev.copy_to_host_async()
+            else:
+                encode_q.put(np.asarray(p))
+
+    try:
+        try:
+            while True:
+                item = decode_q.get()
+                if item is None:
+                    break
+                idx0, batch = item
+                with perf.timed("fx.dispatch"):
+                    # the sharded runner needs mesh-divisible batches; the
+                    # stream tail falls back to the single-device engine
+                    use = runner if batch.shape[0] == batch_size else eng
+                    out_dev, state = use.process(
+                        batch, np.arange(idx0, idx0 + batch.shape[0]), state=state
+                    )
+                    out_dev.copy_to_host_async()
+                if pending is not None:
+                    enqueue(pending)
+                if segmented:
+                    # a batch that closes a segment carries the carry
+                    # snapshot its journal line commits with
+                    end = idx0 + batch.shape[0]
+                    at_boundary = end % seg_len == 0 and eng.params.persistence_on
+                    pending = (out_dev, state if at_boundary else None)
+                else:
+                    pending = out_dev
+                frames_done += batch.shape[0]
+                if _fail_after_frames and frames_done - skip >= _fail_after_frames:
+                    raise RuntimeError("injected failure (test hook)")
             if pending is not None:
-                with perf.timed("fx.device_wait"):
-                    encode_q.put(np.asarray(pending))
-            pending = out_dev
-            frames_done += batch.shape[0]
-        if pending is not None:
-            with perf.timed("fx.device_wait"):
-                encode_q.put(np.asarray(pending))
+                enqueue(pending)
+            clean = True
+        finally:
+            if profiler_ctx is not None:
+                profiler_ctx.__exit__(None, None, None)
+            stop.set()
+            encode_q.put((("eof",) if clean else ("abort",)) if segmented else None)
+            t_enc.join(timeout=120)
+            reader.close()
+            if writer is not None:
+                writer.close()
+        if segmented and clean:
+            with perf.timed("io.merge"):
+                store.merge(
+                    seg_box.get("segments", next_seg), out_w, out_h, fps_out,
+                    audio_path=audio_path,
+                )
+            used_gpu = bool(seg_box.get("used_gpu", False))
     finally:
-        if profiler_ctx is not None:
-            profiler_ctx.__exit__(None, None, None)
-        stop.set()
-        encode_q.put(None)
-        t_enc.join(timeout=120)
-        reader.close()
-        writer.close()
         if audio_path:
             try:
                 os.unlink(audio_path)

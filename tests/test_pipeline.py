@@ -258,3 +258,69 @@ class TestPresets:
         d = json.loads((tmp_path / "t.json").read_text())
         assert set(d) == {"text", "font", "size", "color", "x", "y", "after"}
         assert load_text_preset(tmp_path / "t.json") == t
+
+
+class TestSegmentResume:
+    """Intra-render segment checkpointing (segments.py): crash ->
+    re-run resumes from the journal, output matches a straight render."""
+
+    PARAMS = dict(noise_strength=0.0, persistence=0.5, scanline_strength=0.5)
+
+    def _clip(self, tmp_path, n=24):
+        frames = synth_frames(n, 48, 64, seed=7)
+        return write_clip(tmp_path / "seg_in.mp4", frames), frames
+
+    def _psnr(self, a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+
+    def test_segmented_render_matches_plain(self, tmp_path):
+        path, frames = self._clip(tmp_path)
+        p = EffectParams(**self.PARAMS).clamped()
+        plain, seg = tmp_path / "plain.mp4", tmp_path / "seg.mp4"
+        process_video(path, plain, p, batch_size=4, report=False)
+        process_video(path, seg, p, batch_size=4, segment_frames=8, report=False)
+        a, b = read_clip(plain), read_clip(seg)
+        assert a.shape == b.shape == frames.shape
+        # identical uint8 frames entered the encoders; the segment path
+        # re-encodes once more on the cv2 fallback tier (no ffmpeg here)
+        assert self._psnr(a, b) > 30.0
+        assert not (tmp_path / "seg.mp4.segments").exists()  # cleaned up
+
+    def test_crash_then_resume(self, tmp_path):
+        path, frames = self._clip(tmp_path)
+        p = EffectParams(**self.PARAMS).clamped()
+        plain, seg = tmp_path / "plain2.mp4", tmp_path / "seg2.mp4"
+        process_video(path, plain, p, batch_size=4, report=False)
+
+        with pytest.raises(RuntimeError, match="injected failure"):
+            process_video(path, seg, p, batch_size=4, segment_frames=8,
+                          report=False, _fail_after_frames=16)
+        segdir = tmp_path / "seg2.mp4.segments"
+        assert segdir.exists() and not seg.exists()
+        journal = (segdir / "journal.jsonl").read_text().splitlines()
+        done = [json.loads(l) for l in journal[1:]]
+        assert len(done) >= 1 and done[0]["frames"] == 8
+        # the carry snapshot for the completed segment must exist so the
+        # resumed stream is bit-identical (persistence is on)
+        assert (segdir / "state-00000.npy").exists()
+
+        # resume: completes the render and assembles the final output
+        process_video(path, seg, p, batch_size=4, segment_frames=8, report=False)
+        assert seg.exists()
+        got = read_clip(seg)
+        assert got.shape == frames.shape
+        assert self._psnr(read_clip(plain), got) > 30.0
+
+    def test_changed_config_invalidates_journal(self, tmp_path):
+        path, frames = self._clip(tmp_path, n=12)
+        seg = tmp_path / "seg3.mp4"
+        p1 = EffectParams(**self.PARAMS).clamped()
+        with pytest.raises(RuntimeError):
+            process_video(path, seg, p1, batch_size=4, segment_frames=8,
+                          report=False, _fail_after_frames=8)
+        # different params: the stale journal must be discarded
+        p2 = EffectParams(**{**self.PARAMS, "scanline_strength": 0.9}).clamped()
+        process_video(path, seg, p2, batch_size=4, segment_frames=8, report=False)
+        got = read_clip(seg)
+        assert got.shape == frames.shape
