@@ -324,3 +324,39 @@ class TestSegmentResume:
         process_video(path, seg, p2, batch_size=4, segment_frames=8, report=False)
         got = read_clip(seg)
         assert got.shape == frames.shape
+
+
+class TestSegmentStore:
+    def _store(self, tmp_path, sig=None):
+        from pythoncrt_tpu.segments import SegmentStore
+
+        return SegmentStore(tmp_path / "o.mp4", sig or {"k": 1})
+
+    def test_fresh_store_resumes_at_zero(self, tmp_path):
+        st = self._store(tmp_path)
+        assert st.resume() == (0, 0, None)
+
+    def test_corrupt_journal_resets(self, tmp_path):
+        st = self._store(tmp_path)
+        st.resume()
+        st.journal.write_text("not json\n")
+        assert st.resume() == (0, 0, None)
+
+    def test_prefix_stops_at_missing_file(self, tmp_path):
+        st = self._store(tmp_path)
+        st.resume()
+        st.seg_path(0).write_bytes(b"x")  # seg 0 file present
+        st.mark_done(0, 8, np.zeros((2, 2, 3), np.float32))
+        st.mark_done(1, 8, None)  # seg 1 journaled but file MISSING
+        nxt, skip, state = st.resume()
+        assert (nxt, skip) == (1, 8)
+        assert state is not None and state.shape == (2, 2, 3)
+
+    def test_sig_mismatch_discards(self, tmp_path):
+        st = self._store(tmp_path, {"k": 1})
+        st.resume()
+        st.seg_path(0).write_bytes(b"x")
+        st.mark_done(0, 8, None)
+        st2 = self._store(tmp_path, {"k": 2})
+        assert st2.resume() == (0, 0, None)
+        assert not st2.seg_path(0).exists()  # stale segments wiped
