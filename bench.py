@@ -88,17 +88,24 @@ def bench_oracle(params, h, w, n_frames):
         frames[0], p, phase_px=0.0, time_sec=0.0,
         triad=triad, vignette=vig, noise_field=noise,
     )
-    prev = None
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        img = oracle.apply_effects(
-            frames[i], p, phase_px=i * 1.25, time_sec=i / 30.0,
-            triad=triad, vignette=vig, noise_field=noise,
-        )
-        img = oracle.persistence_blend(prev, img, p.persistence)
-        prev = img
-        oracle.ops.to_uint8(img)
-    return n_frames / (time.perf_counter() - t0)
+
+    def one_pass():
+        prev = None
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            img = oracle.apply_effects(
+                frames[i], p, phase_px=i * 1.25, time_sec=i / 30.0,
+                triad=triad, vignette=vig, noise_field=noise,
+            )
+            img = oracle.persistence_blend(prev, img, p.persistence)
+            prev = img
+            oracle.ops.to_uint8(img)
+        return n_frames / (time.perf_counter() - t0)
+
+    # best of 2: this rig's host CPU intermittently degrades ~6x under
+    # external load; the max is the machine's actual capability and the
+    # conservative choice for the vs_baseline ratio
+    return max(one_pass(), one_pass())
 
 
 def bench_c5(quick=False, iters=3):
