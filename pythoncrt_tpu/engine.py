@@ -522,7 +522,12 @@ class CRTEngine:
         p = self.params
         idx = np.asarray(frame_indices, dtype=np.int64)
         t = idx / float(self.fps)
-        phase = (t * p.scanline_speed_px_s).astype(np.float32)
+        # keep the f64 phase: the reference seeds the glitch RNG from
+        # int(|phase|*k) of the f64 value (crt_filter.py:841/:670), and a
+        # f32 round near an integer boundary would flip the whole frame's
+        # glitch field
+        phase64 = t * p.scanline_speed_px_s
+        phase = phase64.astype(np.float32)
         if p.flicker_on:
             flicker = (
                 1.0 + 0.25 * p.flicker_strength * np.sin(2.0 * np.pi * p.flicker_hz * t)
@@ -551,12 +556,12 @@ class CRTEngine:
                             oracle.glitch_offsets_preview(
                                 self.h, self.w, float(ph), p.glitch_amp_px, p.glitch_height_frac
                             )
-                            for ph in phase
+                            for ph in phase64
                         ]
                     )
                 else:
                     bases, segs = [], []
-                    for ph in phase:
+                    for ph in phase64:
                         base, seg, _ = oracle.glitch_fields_export(
                             self.h, self.w, float(ph), p.glitch_amp_px, p.glitch_height_frac
                         )

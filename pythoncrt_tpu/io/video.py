@@ -312,12 +312,21 @@ class FFmpegRawWriter:
         self.proc.stdin.write(np.ascontiguousarray(rgb_u8).tobytes())
 
     def close(self) -> None:
+        """Flush and reap the encoder; a nonzero ffmpeg exit (or a hang)
+        raises so a truncated/failed encode is never reported as success
+        (the reference's moviepy writer surfaces encode errors too)."""
         try:
             if self.proc.stdin:
                 self.proc.stdin.close()
-            self.proc.wait(timeout=60)
-        except Exception:
-            pass
+        except BrokenPipeError:
+            pass  # child already dead; its exit code tells the story
+        try:
+            rc = self.proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            raise RuntimeError("ffmpeg encoder did not exit within 60s")
+        if rc != 0:
+            raise RuntimeError(f"ffmpeg encoder exited with code {rc}")
 
 
 class CV2Writer:

@@ -177,9 +177,8 @@ class MultiClipEngine:
         if engine.rng == "host" and (engine.params.noise_on or engine.params.glitch_on):
             raise ValueError("MultiClipEngine supports rng='native' only")
         axis = CLIP_AXIS
-        not_first = jnp.zeros((1,), jnp.bool_)
 
-        def per_shard(frames, aux, states, c):
+        def per_shard(frames, aux, states, first_arr, c):
             # Clips are independent, so the effects see one FLAT batch
             # (Pallas kernels get a flat grid — vmapping a pallas_call
             # over clips measured ~1000x slower); only the cheap
@@ -192,7 +191,7 @@ class MultiClipEngine:
             imgs = engine._batch_effects(flat, flat_aux, c)
             imgs = imgs.reshape((cl, b) + imgs.shape[1:])
             return jax.vmap(
-                lambda im, s: engine._finish(im, s, not_first)
+                lambda im, s: engine._finish(im, s, first_arr)
             )(imgs, states)
 
         self._step = jax.jit(
@@ -203,6 +202,7 @@ class MultiClipEngine:
                     P(axis),
                     FrameAux(P(axis), P(axis), P(axis), None, None, None),
                     P(axis),
+                    P(),  # first flag (replicated)
                     jax.tree.map(lambda _: P(), engine._c),
                 ),
                 out_specs=(P(axis), P(axis)),
@@ -218,9 +218,11 @@ class MultiClipEngine:
         idx = np.asarray(frame_indices)
         aux_rows = [self.engine.make_aux(idx[i]) for i in range(c)]
         aux = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_rows)
-        if states is None:
-            # zero-state warmup: callers seed each clip's stream with its
-            # first processed frame (see tests) or accept the convex
-            # self-blend approximation on frame 0.
+        first = states is None
+        if first:
+            # stream start: each clip's frame 0 passes through unblended
+            # (crt_filter.py:1094-1095), handled by the first flag inside
+            # _finish exactly as in ShardedCRTEngine/CRTEngine.
             states = jnp.zeros((c, self.engine.h, self.engine.w, 3), jnp.float32)
-        return self._step(frames_u8, aux, states, self.engine._c)
+        first_arr = jnp.full((1,), first, jnp.bool_)
+        return self._step(frames_u8, aux, states, first_arr, self.engine._c)

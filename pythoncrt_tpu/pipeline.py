@@ -35,6 +35,18 @@ from .text import overlay_for
 DEFAULT_BATCH = 16
 
 
+def _put_or_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
+    """Bounded put that rechecks the stop event, so a producer thread can
+    never stay blocked forever when the consumer has bailed out."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _feeder(
     reader, batch_size: int, out_q: queue.Queue, stop: threading.Event,
     skip: int = 0,
@@ -56,24 +68,37 @@ def _feeder(
             buf.append(frame)
             n += 1
             if len(buf) == batch_size:
-                out_q.put((idx0, np.stack(buf)))
+                if not _put_or_stop(out_q, (idx0, np.stack(buf)), stop):
+                    break
                 idx0, buf = n, []
         if buf and not stop.is_set():
-            out_q.put((idx0, np.stack(buf)))
+            _put_or_stop(out_q, (idx0, np.stack(buf)), stop)
     finally:
-        out_q.put(None)
+        # best-effort sentinel: if the consumer already stopped, don't block
+        try:
+            out_q.put(None, timeout=5)
+        except queue.Full:
+            pass
 
 
-def _writer_loop(writer, in_q: queue.Queue, progress, total_frames: int) -> None:
+def _writer_loop(
+    writer, in_q: queue.Queue, progress, total_frames: int, err: dict,
+) -> None:
     written = 0
     while True:
         item = in_q.get()
         if item is None:
             break
-        with perf.timed("io.encode"):
-            for frame in item:
-                writer.write_frame(frame)
-                written += 1
+        if "encode" in err:
+            continue  # keep draining so the producer never blocks
+        try:
+            with perf.timed("io.encode"):
+                for frame in item:
+                    writer.write_frame(frame)
+                    written += 1
+        except Exception as e:  # ffmpeg child died, disk full, ...
+            err["encode"] = e
+            continue
         if progress is not None and total_frames > 0:
             progress(min(1.0, written / float(total_frames)))
 
@@ -82,7 +107,7 @@ def _segment_writer_loop(
     store, seg_len: int, w: int, h: int, fps: float,
     start_seg: int, start_frames: int,
     in_q: queue.Queue, progress, total_frames: int,
-    enc_kwargs: dict, box: dict,
+    enc_kwargs: dict, box: dict, err: dict,
 ) -> None:
     """Encode thread, segment mode: rotate a fresh segment writer every
     seg_len frames; a completed segment commits (file close -> carry
@@ -106,22 +131,32 @@ def _segment_writer_loop(
     while True:
         item = in_q.get()
         if item is None or isinstance(item[0], str):
-            close_seg(mark=item is not None and item[0] == "eof")
+            try:
+                close_seg(mark=item is not None and item[0] == "eof"
+                          and "encode" not in err)
+            except Exception as e:
+                err.setdefault("encode", e)
             break
+        if "encode" in err:
+            continue  # keep draining so the producer never blocks
         frames, state = item
-        with perf.timed("io.encode"):
-            for frame in frames:
-                if cur is None:
-                    cur, gpu = vio.open_writer(
-                        str(store.seg_path(seg)), w, h, fps, **enc_kwargs
-                    )
-                    box.setdefault("used_gpu", gpu)
-                cur.write_frame(frame)
-                written_in_seg += 1
-                total_written += 1
-        # seg_len is batch-aligned, so boundaries land on item ends
-        if written_in_seg >= seg_len:
-            close_seg(mark=True, state=state)
+        try:
+            with perf.timed("io.encode"):
+                for frame in frames:
+                    if cur is None:
+                        cur, gpu = vio.open_writer(
+                            str(store.seg_path(seg)), w, h, fps, **enc_kwargs
+                        )
+                        box.setdefault("used_gpu", gpu)
+                    cur.write_frame(frame)
+                    written_in_seg += 1
+                    total_written += 1
+            # seg_len is batch-aligned, so boundaries land on item ends
+            if written_in_seg >= seg_len:
+                close_seg(mark=True, state=state)
+        except Exception as e:
+            err["encode"] = e
+            continue
         if progress is not None and total_frames > 0:
             progress(min(1.0, total_written / float(total_frames)))
     box["segments"] = seg
@@ -251,6 +286,7 @@ def process_video(
     decode_q: queue.Queue = queue.Queue(maxsize=4)
     encode_q: queue.Queue = queue.Queue(maxsize=4)
     stop = threading.Event()
+    err: dict = {}
     t_dec = threading.Thread(
         target=_feeder, args=(reader, batch_size, decode_q, stop, skip), daemon=True
     )
@@ -258,12 +294,13 @@ def process_video(
         t_enc = threading.Thread(
             target=_segment_writer_loop,
             args=(store, seg_len, out_w, out_h, fps_out, next_seg, skip,
-                  encode_q, progress_cb, total_frames, enc_kwargs, seg_box),
+                  encode_q, progress_cb, total_frames, enc_kwargs, seg_box, err),
             daemon=True,
         )
     else:
         t_enc = threading.Thread(
-            target=_writer_loop, args=(writer, encode_q, progress_cb, total_frames),
+            target=_writer_loop,
+            args=(writer, encode_q, progress_cb, total_frames, err),
             daemon=True,
         )
     t_dec.start()
@@ -285,11 +322,21 @@ def process_video(
         with perf.timed("fx.device_wait"):
             if segmented:
                 out_dev, st = p
-                encode_q.put(
-                    (np.asarray(out_dev), None if st is None else np.asarray(st))
-                )
+                item = (np.asarray(out_dev), None if st is None else np.asarray(st))
             else:
-                encode_q.put(np.asarray(p))
+                item = np.asarray(p)
+        # the writer thread drains even after a failure, so this cannot
+        # block forever; surface its recorded error in the main thread
+        while True:
+            if "encode" in err:
+                raise RuntimeError("encode failed") from err["encode"]
+            if not t_enc.is_alive():
+                raise RuntimeError("encoder thread died")
+            try:
+                encode_q.put(item, timeout=1.0)
+                return
+            except queue.Full:
+                continue
 
     try:
         try:
@@ -326,11 +373,24 @@ def process_video(
             if profiler_ctx is not None:
                 profiler_ctx.__exit__(None, None, None)
             stop.set()
-            encode_q.put((("eof",) if clean else ("abort",)) if segmented else None)
+            try:
+                encode_q.put(
+                    (("eof",) if clean else ("abort",)) if segmented else None,
+                    timeout=30,
+                )
+            except queue.Full:
+                pass
             t_enc.join(timeout=120)
             reader.close()
             if writer is not None:
-                writer.close()
+                try:
+                    writer.close()
+                except Exception as e:
+                    # surfaced via the err check below on the clean path;
+                    # never masks an in-flight pipeline exception
+                    err.setdefault("encode", e)
+        if "encode" in err:
+            raise RuntimeError("encode failed") from err["encode"]
         if segmented and clean:
             with perf.timed("io.merge"):
                 store.merge(

@@ -155,6 +155,52 @@ class TestPipeline:
         assert seen and seen[-1] == 1.0
         assert all(0 <= v <= 1 for v in seen)
 
+    def test_encode_failure_raises_not_hangs(self, tiny_clip, tmp_path,
+                                             monkeypatch):
+        """A dying encoder (ffmpeg crash, disk full) must surface as an
+        exception from process_video; the old behavior deadlocked on the
+        bounded encode queue."""
+
+        class ExplodingWriter:
+            def __init__(self):
+                self.n = 0
+
+            def write_frame(self, frame):
+                self.n += 1
+                if self.n > 2:
+                    raise BrokenPipeError("encoder child died")
+
+            def close(self):
+                pass
+
+        path, _ = tiny_clip
+        monkeypatch.setattr(vio, "open_writer",
+                            lambda *a, **k: (ExplodingWriter(), False))
+        with pytest.raises(RuntimeError, match="encode failed"):
+            process_video(path, tmp_path / "x.mp4",
+                          EffectParams(persistence=0.0, noise_strength=0.0),
+                          batch_size=4, report=False)
+
+    def test_writer_close_failure_raises(self, tiny_clip, tmp_path,
+                                         monkeypatch):
+        """A nonzero encoder exit detected at close() must fail the render
+        (truncated output must never be reported as success)."""
+
+        class BadCloseWriter:
+            def write_frame(self, frame):
+                pass
+
+            def close(self):
+                raise RuntimeError("ffmpeg encoder exited with code 1")
+
+        path, _ = tiny_clip
+        monkeypatch.setattr(vio, "open_writer",
+                            lambda *a, **k: (BadCloseWriter(), False))
+        with pytest.raises(RuntimeError, match="encode failed"):
+            process_video(path, tmp_path / "y.mp4",
+                          EffectParams(persistence=0.0, noise_strength=0.0),
+                          batch_size=4, report=False)
+
 
 class TestCLI:
     def test_help_runs_without_jax(self):

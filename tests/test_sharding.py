@@ -96,9 +96,24 @@ class TestClipSharding:
         got, states = mc.process(clips, idx)
         got = np.asarray(got)
         for i in range(8):
-            # reference: single-engine continuation from a zero state
-            ref, _ = eng.process(clips[i], np.arange(4), state=eng.init_state())
+            # reference semantics: states=None means stream start — each
+            # clip's frame 0 passes through unblended (crt_filter.py:1094)
+            ref, _ = eng.process(clips[i], np.arange(4), state=None)
             assert u8diff(got[i], ref) == 0
+
+    def test_states_continue_streams(self):
+        mesh = make_mesh(8, axis="clips")
+        p = EffectParams(persistence=0.5, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        clips = np.stack([synth_frames(8, H, W, seed=10 + i) for i in range(8)])
+        mc = MultiClipEngine(eng, mesh)
+        o1, states = mc.process(clips[:, :4], np.tile(np.arange(4), (8, 1)))
+        o2, _ = mc.process(clips[:, 4:], np.tile(np.arange(4, 8), (8, 1)),
+                           states=states)
+        got = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+        for i in range(8):
+            ref, _ = eng.process(clips[i], np.arange(8), state=None)
+            assert u8diff(got[i], ref) <= 1
 
     def test_rejects_host_rng(self):
         mesh = make_mesh(8, axis="clips")
