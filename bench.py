@@ -26,6 +26,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Pinned CPU baseline for the headline ratio (fps at 1080p c3): the
+# REAL reference's apply_static_effects + orchestrator drain, measured
+# on this host via scripts/bench_reference.py (best-of-2; its own perf
+# report is recorded in BASELINE.md). Pinning stops vs_baseline from
+# tracking shared-host load weather; the live oracle is still measured
+# and logged, and if it ever beats the pin the larger (more
+# conservative) denominator is used.
+PINNED_CPU_BASELINE_FPS = 1.19
+
+
 def make_frames(b, h, w, seed=0):
     return np.random.default_rng(seed).integers(0, 256, (b, h, w, 3), dtype=np.uint8)
 
@@ -196,7 +206,11 @@ def main():
     log(f"c3 full-stack {w}x{h}: {tpu_fps:.1f} fps (compile {compile_s:.1f}s)")
 
     cpu_fps = bench_oracle(p3, h, w, oracle_frames)
-    log(f"c3 CPU oracle {w}x{h}: {cpu_fps:.2f} fps")
+    log(f"c3 CPU oracle {w}x{h}: {cpu_fps:.2f} fps (live)")
+    if not quick:
+        cpu_fps = max(cpu_fps, PINNED_CPU_BASELINE_FPS)
+        log(f"c3 CPU baseline used: {cpu_fps:.2f} fps "
+            f"(pinned reference {PINNED_CPU_BASELINE_FPS})")
 
     if run_all:
         sizes = {"c1_defaults_480p": (480, 640), "c2_retro_720p": (720, 1280),

@@ -3,8 +3,9 @@
 Flag surface is name-for-name compatible with the reference CLI
 (crt_filter.py:1153-1207), with the same defaults and the same clamp
 semantics applied by the driver (:1225-1266). TPU-specific additions:
---batch-size, --engine-mode, --rng, --seed, --assoc-scan, --preset,
---text-preset, --devices.
+--batch-size, --engine-mode, --rng, --seed, --assoc-scan, --precision,
+--preset, --text-preset, --pipe-format, --segment-frames, --profile,
+--sharding, --devices.
 """
 
 from __future__ import annotations
@@ -106,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", type=str, default="",
                    help="write an xprof/jax.profiler trace of the render "
                         "to this directory")
+    p.add_argument("--sharding", type=str, default="auto",
+                   choices=["auto", "none"],
+                   help="'auto' shards each batch's frame axis across "
+                        "visible devices; 'none' forces single-device")
+    p.add_argument("--devices", type=int, default=0,
+                   help="max devices to shard across (0 = all visible)")
     return p
 
 
@@ -190,6 +197,8 @@ def main(argv=None) -> int:
         assoc_scan=bool(a.assoc_scan),
         precision=str(a.precision),
         pipe_format=str(a.pipe_format),
+        sharding=str(a.sharding),
+        devices=max(0, int(a.devices)),
         segment_frames=max(0, int(a.segment_frames)),
         profile_dir=a.profile or None,
     )

@@ -88,6 +88,44 @@ def _preview_size(w: int, h: int) -> tuple[int, int]:
     return max(1, int(w * scale)), max(1, int(h * scale))
 
 
+def render_preview_frame(
+    frame: np.ndarray, p: EffectParams, t: float,
+    prev_img: np.ndarray | None = None, stateful: bool = False,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Preview-path frame computation, Qt-free so it is testable on
+    headless hosts (reference on_tick :1810-1852 / paused preview
+    :1958-2017): fit-downscale, oracle effect chain with time-seeded
+    grain, optional stateful persistence. Returns (uint8 out, new
+    persistence state or None)."""
+    h, w = frame.shape[:2]
+    pw, ph = _preview_size(w, h)
+    if (pw, ph) != (w, h):
+        import cv2
+
+        frame = cv2.resize(frame, (pw, ph), interpolation=cv2.INTER_LINEAR)
+    phase = t * p.scanline_speed_px_s
+    noise = (
+        np.random.default_rng(int(t * 1000)).standard_normal(
+            (max(1, ph // p.grain_size), max(1, pw // p.grain_size)),
+            dtype=np.float32,
+        )
+        if p.noise_on
+        else None
+    )
+    text_rgba = overlay_for(pw, ph, p.text)
+    img = oracle.apply_effects(
+        frame, p, phase_px=phase, time_sec=t,
+        noise_field=noise, text_rgba=text_rgba, engine="preview",
+    )
+    new_prev = None
+    if stateful and p.persistence_on:
+        if prev_img is not None and prev_img.shape != img.shape:
+            prev_img = None
+        img = oracle.persistence_blend(prev_img, img, p.persistence)
+        new_prev = img
+    return oracle.ops.to_uint8(img), new_prev
+
+
 def run_app() -> int:
     from PySide6 import QtCore, QtGui, QtWidgets
 
@@ -432,33 +470,13 @@ def run_app() -> int:
         # ---------------- preview ----------------
 
         def _apply_preview(self, frame: np.ndarray, stateful: bool) -> np.ndarray:
-            p = self.current_params()
-            h, w = frame.shape[:2]
-            pw, ph = _preview_size(w, h)
-            if (pw, ph) != (w, h):
-                import cv2
-
-                frame = cv2.resize(frame, (pw, ph), interpolation=cv2.INTER_LINEAR)
-            phase = self.t * p.scanline_speed_px_s
-            noise = (
-                np.random.default_rng(int(self.t * 1000)).standard_normal(
-                    (max(1, ph // p.grain_size), max(1, pw // p.grain_size)),
-                    dtype=np.float32,
-                )
-                if p.noise_on
-                else None
+            out, new_prev = render_preview_frame(
+                frame, self.current_params(), self.t,
+                prev_img=self.prev_img, stateful=stateful,
             )
-            text_rgba = overlay_for(pw, ph, p.text)
-            img = oracle.apply_effects(
-                frame, p, phase_px=phase, time_sec=self.t,
-                noise_field=noise, text_rgba=text_rgba, engine="preview",
-            )
-            if stateful and p.persistence_on:
-                if self.prev_img is not None and self.prev_img.shape != img.shape:
-                    self.prev_img = None
-                img = oracle.persistence_blend(self.prev_img, img, p.persistence)
-                self.prev_img = img
-            return oracle.ops.to_uint8(img)
+            if stateful:
+                self.prev_img = new_prev
+            return out
 
         def _show(self, rgb_u8: np.ndarray) -> None:
             h, w = rgb_u8.shape[:2]

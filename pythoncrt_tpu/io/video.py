@@ -181,7 +181,8 @@ class FFmpegRawReader:
     """
 
     def __init__(self, src: str, out_w: int, out_h: int, fps: float,
-                 hwaccel: Optional[str] = None, pipe_format: str = "rgb24") -> None:
+                 hwaccel: Optional[str] = None, pipe_format: str = "rgb24",
+                 start_frame: int = 0) -> None:
         exe = find_ffmpeg()
         if not exe:
             raise RuntimeError("no ffmpeg binary available")
@@ -192,6 +193,11 @@ class FFmpegRawReader:
         cmd = [exe, "-hide_banner", "-loglevel", "error"]
         if hwaccel and hwaccel != "auto":
             cmd += ["-hwaccel", hwaccel]
+        if start_frame > 0:
+            # accurate input seek: keyframe seek + decode-and-discard up
+            # to the exact target, so resume cost is O(remaining) instead
+            # of a full-prefix decode (segment resume, segments.py)
+            cmd += ["-ss", f"{start_frame / float(fps):.6f}"]
         cmd += [
             "-i", str(src),
             "-vf", f"scale={self.out_w}:{self.out_h}",
@@ -232,7 +238,8 @@ class CV2Reader:
     """OpenCV decoder with nearest-timestamp fps resampling and on-read
     resize; yields (H, W, 3) RGB uint8 frames."""
 
-    def __init__(self, src: str, out_w: int, out_h: int, fps: float) -> None:
+    def __init__(self, src: str, out_w: int, out_h: int, fps: float,
+                 start_frame: int = 0) -> None:
         import cv2
 
         self._cv2 = cv2
@@ -242,13 +249,20 @@ class CV2Reader:
         self.out_w, self.out_h = int(out_w), int(out_h)
         self.src_fps = float(self.cap.get(cv2.CAP_PROP_FPS) or fps)
         self.out_fps = float(fps)
+        self.start_frame = int(start_frame)
 
     def iter_frames(self) -> Iterator[np.ndarray]:
         cv2 = self._cv2
         src_i = -1
-        out_i = 0
+        out_i = self.start_frame
         frame = None
         ratio = self.src_fps / self.out_fps
+        if out_i > 0:
+            # positioned read: jump to the source frame feeding output
+            # frame start_frame (O(remaining) resume)
+            want0 = int(round(out_i * ratio))
+            if want0 > 0 and self.cap.set(cv2.CAP_PROP_POS_FRAMES, want0):
+                src_i = want0 - 1
         while True:
             want = int(round(out_i * ratio))
             while src_i < want:
@@ -270,17 +284,20 @@ class CV2Reader:
 
 def open_reader(
     src: str, out_w: int, out_h: int, fps: float, decoder_preference: str = "auto",
-    pipe_format: str = "rgb24",
+    pipe_format: str = "rgb24", start_frame: int = 0,
 ):
     """Tier-by-tier reader selection: hwaccel ffmpeg -> plain ffmpeg ->
-    OpenCV (the reference's fallback-chain pattern, crt_filter.py:1024-1036)."""
+    OpenCV (the reference's fallback-chain pattern, crt_filter.py:1024-1036).
+
+    start_frame: first output frame to yield (decoder-side seek)."""
     accel = map_decoder_to_hwaccel(decoder_preference)
     if find_ffmpeg():
         try:
-            return FFmpegRawReader(src, out_w, out_h, fps, accel, pipe_format)
+            return FFmpegRawReader(src, out_w, out_h, fps, accel, pipe_format,
+                                   start_frame)
         except Exception:
             pass
-    return CV2Reader(src, out_w, out_h, fps)
+    return CV2Reader(src, out_w, out_h, fps, start_frame)
 
 
 # --------------------------------------------------------------------------

@@ -49,22 +49,20 @@ def _put_or_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
 
 def _feeder(
     reader, batch_size: int, out_q: queue.Queue, stop: threading.Event,
-    skip: int = 0,
+    start_idx: int = 0,
 ) -> None:
     """Decode thread: accumulate frames into (B, H, W, 3) batches.
 
-    skip: decode-and-drop this many leading frames (segment resume);
-    batch indices continue at the absolute frame position so phase /
-    flicker / RNG keys are identical to an uninterrupted render.
+    start_idx: absolute frame position of the reader's first frame
+    (segment resume seeks the decoder, so no frames are dropped here);
+    batch indices continue at the absolute position so phase / flicker /
+    RNG keys are identical to an uninterrupted render.
     """
     try:
-        buf, idx0, n = [], skip, skip
+        buf, idx0, n = [], start_idx, start_idx
         for frame in perf.timed_iter(reader.iter_frames(), "io.decode"):
             if stop.is_set():
                 break
-            if skip > 0:
-                skip -= 1
-                continue
             buf.append(frame)
             n += 1
             if len(buf) == batch_size:
@@ -184,6 +182,7 @@ def process_video(
     precision: str = "exact",
     pipe_format: str = "rgb24",
     sharding: str = "auto",
+    devices: int = 0,
     segment_frames: int = 0,
     progress_cb: Optional[Callable[[float], None]] = None,
     report: bool = True,
@@ -198,6 +197,7 @@ def process_video(
     sharding: "auto" shards each batch's frame axis across all local
     devices when more than one is visible (persistence carry crosses
     shard boundaries on-device); "none" forces single-device.
+    devices: cap on how many devices "auto" shards across (0 = all).
 
     segment_frames > 0 enables intra-render checkpointing: output is
     written as batch-aligned segments with a resume journal (see
@@ -230,16 +230,14 @@ def process_video(
             import jax
 
             ndev = len(jax.devices())
+            if devices > 0:
+                ndev = min(ndev, devices)
             if ndev > 1 and batch_size % ndev == 0:
-                from .parallel import ShardedCRTEngine
+                from .parallel import ShardedCRTEngine, make_mesh
 
-                runner = ShardedCRTEngine(eng)
+                runner = ShardedCRTEngine(eng, make_mesh(ndev))
         elif sharding not in ("none",):
             raise ValueError(f"sharding must be 'auto' or 'none', got {sharding!r}")
-
-    reader = vio.open_reader(
-        str(input_path), out_w, out_h, fps_out, decoder_preference, pipe_format
-    )
 
     segmented = segment_frames > 0
     writer = None
@@ -282,6 +280,13 @@ def process_video(
             bitrate_kbps=target_bitrate_kbps, nvenc_preset=nvenc_preset,
             audio_path=audio_path,
         )
+
+    # opened after the resume point is known: the decoder seeks straight
+    # to the first unrendered frame (O(remaining) resume)
+    reader = vio.open_reader(
+        str(input_path), out_w, out_h, fps_out, decoder_preference, pipe_format,
+        start_frame=skip,
+    )
 
     decode_q: queue.Queue = queue.Queue(maxsize=4)
     encode_q: queue.Queue = queue.Queue(maxsize=4)

@@ -256,6 +256,26 @@ class TestCLI:
         ])
         assert params_from_args(a2).warp_strength == pytest.approx(-0.25)
 
+    def test_docstring_flags_exist_in_parser(self):
+        """Every flag advertised in the cli module docstring must exist
+        (the docstring is part of the project's contract surface)."""
+        import re
+
+        from pythoncrt_tpu import cli
+
+        parser = cli.build_parser()
+        known = {opt for act in parser._actions for opt in act.option_strings}
+        advertised = set(re.findall(r"--[a-z][a-z0-9-]*", cli.__doc__))
+        missing = advertised - known
+        assert not missing, f"docstring advertises unknown flags: {missing}"
+
+    def test_devices_flag_caps_sharding(self, tiny_clip, tmp_path):
+        path, _ = tiny_clip
+        out = tmp_path / "dev2.mp4"
+        process_video(path, out, EffectParams(persistence=0.0),
+                      batch_size=4, sharding="auto", devices=2, report=False)
+        assert vio.probe_clip(out).frame_count == 12
+
     def test_gui_flag_degrades_gracefully(self):
         res = subprocess.run(
             [sys.executable, "-m", "pythoncrt_tpu", "--gui"],
