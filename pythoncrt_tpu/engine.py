@@ -253,7 +253,8 @@ class CRTEngine:
                 # they live in HBM across steps.
                 t = self._warp_tables
                 c["warp_m"] = jax.jit(
-                    functools.partial(_kw.build_warp_masks, wxd=t.wxd, exact=self._exact)
+                    functools.partial(_kw.build_warp_masks, wxd=t.wxd,
+                                      exact=self._exact, split=t.split)
                 )(t.dxl, t.dxr, t.wx0, t.wx1)
             else:
                 map_x, map_y = oracle.barrel_warp_maps(h, w, p.warp_strength)

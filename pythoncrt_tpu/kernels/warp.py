@@ -47,6 +47,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+HTX = TX // 2  # half-tile columns for the K=128 split
+
+
 @dataclass(frozen=True)
 class WarpTables:
     """Host-precomputed static tables for one (H, W, strength)."""
@@ -70,6 +73,12 @@ class WarpTables:
     wx1: np.ndarray  # (H, W) f32 right-tap weight
     wy0: np.ndarray  # (H, W) f32 top-tap weight
     wy1: np.ndarray  # (H, W) f32 bottom-tap weight
+    # K=128 half-tile matmul split: per half-tile h (cols [64h, 64h+64)),
+    # taps live at rolled-window lanes [64h, 64h + 64 + d), so when
+    # d <= 64 each half's matmul contracts over a single 128-lane slice
+    # — K=128 with ZERO Mosaic pad, vs K=wxd padded up to 256 (half the
+    # MACs at 1080p). Falls back to the full-K path at larger strengths.
+    split: bool = False
 
     @property
     def grid(self):
@@ -184,24 +193,57 @@ def build_warp_tables(h: int, w: int, strength: float) -> WarpTables:
         by=by_org.astype(np.int32), wx=wx_org.astype(np.int32), off=off,
         dxl=dxl, dxr=dxr, ylrel=ylrel, yrrel=yrrel,
         wx0=wx0, wx1=wx1, wy0=wy0, wy1=wy1,
+        split=(d <= HTX and wxpf >= HTX + 128),
     )
 
 
-def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True):
+def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True,
+                     split: bool = False):
     """One-hot bilinear x-weight masks per (tile, tile-row), as the
     hi/lo bf16 pair the kernel's 3-pass split consumes directly.
 
-    Returns (m_hi, m_lo), each (yt*xt, WXD, TY*TX) bf16 — or just
-    (m_hi,) when exact=False (the single-pass "fast" precision mode,
-    which also halves mask HBM and per-tile DMA). Pure jnp so it
-    runs on device (jit it); the values are exactly what the kernel used
-    to build per tile-row on the VPU: at most one of the two one-hot
-    terms is nonzero per (k, j) (dxr = dxl+1 when both taps are valid;
-    invalid taps carry zero weight), so mx is exact in f32 and the split
-    is deterministic round-to-nearest-even.
+    Returns (m_hi, m_lo) — or just (m_hi,) when exact=False (the
+    single-pass "fast" precision mode, which also halves mask HBM and
+    per-tile DMA). Shapes:
+
+      split=False: (yt*xt, WXD, TY*TX) — one (3*BYP, WXD) @ (WXD,
+        TY*TX) matmul per pass, K padded to 256 lanes by Mosaic.
+      split=True (d <= 64): (yt*xt, 2, 128, TY*HTX) — per half-tile h,
+        column j's taps sit at rolled-window lanes j + dx + 64h with
+        j + dx < 64 + d <= 128, so the mask contracts a single 128-lane
+        window slice: K=128, zero pad, half the MACs.
+
+    Pure jnp so it runs on device (jit it); the values are exactly what
+    the kernel used to build per tile-row on the VPU: at most one of the
+    two one-hot terms is nonzero per (k, j) (dxr = dxl+1 when both taps
+    are valid; invalid taps carry zero weight), so mx is exact in f32
+    and the split is deterministic round-to-nearest-even.
     """
     h, w = dxl.shape
     yt, xt = h // TY, w // TX
+
+    if split:
+        # (H, W) -> (nt, 2, TY, 1, HTX): half-tiles as a leading axis
+        def tile2(a):
+            return (
+                jnp.asarray(a)
+                .reshape(yt, TY, xt, 2, HTX)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(yt * xt, 2, TY, 1, HTX)
+            )
+
+        jj = jnp.arange(HTX, dtype=jnp.int32)  # in-half column
+        iota = jnp.arange(128, dtype=jnp.int32)[:, None]  # (128, 1)
+        mx = (
+            tile2(wx0) * (iota == tile2(dxl) + jj).astype(jnp.float32)
+            + tile2(wx1) * (iota == tile2(dxr) + jj).astype(jnp.float32)
+        )  # (nt, 2, TY, 128, HTX) f32
+        mx = mx.transpose(0, 1, 3, 2, 4).reshape(-1, 2, 128, TY * HTX)
+        m_hi = mx.astype(jnp.bfloat16)
+        if not exact:
+            return (m_hi,)
+        m_lo = (mx - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return m_hi, m_lo
 
     def tile(a):  # (H, W) -> (nt, TY, 1, TX)
         return (
@@ -233,6 +275,7 @@ def _warp_kernel(
     img_ref,  # (B, 3, H, W) f32, ANY (manual DMA)
     *refs,  # (1, WXD, TY*TX) mask blocks (1 or 2), y tables, out, scratch
     byp: int, wxp: int, d: int, wxd: int, pad: int, exact: bool,
+    split: bool,
 ):
     if exact:
         mhi_ref, mlo_ref, yl_ref, yr_ref, wy0_ref, wy1_ref, out_ref, win_ref, sem = refs
@@ -291,38 +334,57 @@ def _warp_kernel(
     full = win_ref[slot]  # (3, BYP, WXPF)
     wxpf = full.shape[-1]
     rolled = pltpu.roll(full, wxpf - off, axis=2)
-    win = rolled[:, :, :wxd]  # (3, BYP, WXD)
 
-    # Channels fold into the matmul's M dimension: (3*BYP, WXD) @
-    # (WXD, TX) resolves the x-taps for the whole band in ONE MXU op per
-    # row. Hand-rolled 3-pass bf16 split (Mosaic lacks Precision.HIGH):
-    # dropping only the lo*lo product term bounds the relative error at
-    # ~2^-18 — ~260x below the uint8 LSB budget (verified on-chip).
-    win2 = win.reshape(3 * byp, wxd)
-    w_hi = win2.astype(jnp.bfloat16)
-    if exact:
-        w_lo = (win2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    def matmul3(wv, mh, ml):
+        """Hand-rolled 3-pass bf16 split (Mosaic lacks Precision.HIGH):
+        dropping only the lo*lo product term bounds the relative error
+        at ~2^-18 — ~260x below the uint8 LSB budget (verified on-chip).
+        Fast mode (exact=False): one bf16 pass, ~2^-8 relative — a
+        documented deviation from the exact contract."""
+        v_hi = wv.astype(jnp.bfloat16)
+        acc = jnp.dot(v_hi, mh, preferred_element_type=jnp.float32)
+        if exact:
+            v_lo = (wv - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(v_hi, ml, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(v_lo, mh, preferred_element_type=jnp.float32)
+        return acc
+
     dio3 = jax.lax.broadcasted_iota(jnp.int32, (3 * byp, TX), 0)
     dmod = jax.lax.rem(dio3, byp)  # per-channel band row ids
-    m_hi = mhi_ref[0]  # (WXD, TY*TX): all 8 row-masks side by side
-    if exact:
-        m_lo = mlo_ref[0]
-        cband_all = (
-            jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(w_hi, m_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(w_lo, m_hi, preferred_element_type=jnp.float32)
-        )
+
+    def y_select(cband3, r, j0, n):
+        """Resolve the vertical taps for output row r, columns
+        [j0, j0+n): iota-compare band select + weighted sum."""
+        m0 = dmod[:, :n] == yl_ref[r, j0:j0 + n][None, :]
+        m1 = dmod[:, :n] == yr_ref[r, j0:j0 + n][None, :]
+        s0 = jnp.sum(jnp.where(m0, cband3, 0.0).reshape(3, byp, n), axis=1)
+        s1 = jnp.sum(jnp.where(m1, cband3, 0.0).reshape(3, byp, n), axis=1)
+        return wy0_ref[r, j0:j0 + n] * s0 + wy1_ref[r, j0:j0 + n] * s1
+
+    if split:
+        # Channels fold into M; per half-tile the contraction is a
+        # single 128-lane window slice (K=128, no Mosaic K-pad — half
+        # the MACs of the K=WXD->256 path).
+        for hf in range(2):
+            wv = rolled[:, :, hf * HTX:hf * HTX + 128].reshape(3 * byp, 128)
+            mh = mhi_ref[0, hf]  # (128, TY*HTX)
+            ml = mlo_ref[0, hf] if exact else None
+            acc = matmul3(wv, mh, ml)
+            for r in range(TY):
+                cband3 = acc[:, r * HTX:(r + 1) * HTX]
+                out_ref[0, :, r, hf * HTX:(hf + 1) * HTX] = y_select(
+                    cband3, r, hf * HTX, HTX
+                )
     else:
-        # fast mode: one bf16 pass (~2^-8 relative — up to ~1 uint8
-        # LSB; a documented deviation from the exact contract)
-        cband_all = jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
-    for r in range(TY):
-        cband3 = cband_all[:, r * TX:(r + 1) * TX]
-        m0 = dmod == yl_ref[r, :][None, :]  # (3*BYP, TX)
-        m1 = dmod == yr_ref[r, :][None, :]
-        s0 = jnp.sum(jnp.where(m0, cband3, 0.0).reshape(3, byp, TX), axis=1)
-        s1 = jnp.sum(jnp.where(m1, cband3, 0.0).reshape(3, byp, TX), axis=1)
-        out_ref[0, :, r, :] = wy0_ref[r, :] * s0 + wy1_ref[r, :] * s1
+        # Channels fold into the matmul's M dimension: (3*BYP, WXD) @
+        # (WXD, TY*TX) resolves the x-taps for the whole band in ONE MXU
+        # op per pass.
+        win2 = rolled[:, :, :wxd].reshape(3 * byp, wxd)
+        m_hi = mhi_ref[0]  # (WXD, TY*TX): all 8 row-masks side by side
+        cband_all = matmul3(win2, m_hi, mlo_ref[0] if exact else None)
+        for r in range(TY):
+            cband3 = cband_all[:, r * TX:(r + 1) * TX]
+            out_ref[0, :, r, :] = y_select(cband3, r, 0, TX)
 
 
 def warp_planar(
@@ -344,18 +406,24 @@ def warp_planar(
     t = tables
     yt, xt = t.grid
     if masks is None:
-        masks = build_warp_masks(t.dxl, t.dxr, t.wx0, t.wx1, wxd=t.wxd, exact=exact)
+        masks = build_warp_masks(t.dxl, t.dxr, t.wx0, t.wx1, wxd=t.wxd,
+                                 exact=exact, split=t.split)
     if len(masks) != (2 if exact else 1):
         raise ValueError(f"expected {2 if exact else 1} mask arrays, got {len(masks)}")
     # index maps receive (grid indices..., *scalar_prefetch_refs)
     tile = lambda i, j, bb, *_: (i, j)  # noqa: E731
-    mtile = lambda i, j, bb, *_: (i * xt + j, 0, 0)  # noqa: E731
+    if t.split:
+        mspec = pl.BlockSpec((1, 2, 128, TY * HTX),
+                             lambda i, j, bb, *_: (i * xt + j, 0, 0, 0))
+    else:
+        mspec = pl.BlockSpec((1, t.wxd, TY * TX),
+                             lambda i, j, bb, *_: (i * xt + j, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(yt, xt, b),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # img
-        + [pl.BlockSpec((1, t.wxd, TY * TX), mtile)] * len(masks)
+        + [mspec] * len(masks)
         + [pl.BlockSpec((TY, TX), tile)] * 4,  # yl yr wy0 wy1
         out_specs=pl.BlockSpec((1, 3, TY, TX), lambda i, j, bb, *_: (bb, 0, i, j)),
         scratch_shapes=[
@@ -364,7 +432,8 @@ def warp_planar(
         ],
     )
     kern = functools.partial(
-        _warp_kernel, byp=t.byp, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad, exact=exact
+        _warp_kernel, byp=t.byp, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad,
+        exact=exact, split=t.split,
     )
     return pl.pallas_call(
         kern,

@@ -23,6 +23,29 @@ def test_warp_kernel_matches_oracle(strength, rng):
         assert err < 2e-5, f"strength={strength} err={err}"
 
 
+@pytest.mark.parametrize("strength", [0.1, 0.3])
+def test_warp_kernel_split_path(strength, rng):
+    """The K=128 half-tile split must engage at small strengths (d <= 64)
+    and stay within the exact-mode bound."""
+    imgs = rng.random((2, H, W, 3), dtype=np.float32)
+    tables = kwarp.build_warp_tables(H, W, strength)
+    assert tables.split, f"expected split path at strength {strength}"
+    got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
+    map_x, map_y = oracle.barrel_warp_maps(H, W, strength)
+    for b in range(2):
+        want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        err = np.abs(got[b] - want).max()
+        assert err < 2e-5, f"strength={strength} err={err}"
+
+
+def test_warp_kernel_full_path_still_used_at_large_d(rng):
+    """Strengths whose displacement span exceeds 64 must fall back to the
+    full-K path (and still match)."""
+    big = kwarp.build_warp_tables(544, 1920, 1.0)
+    # d > HTX at some (H, W, strength): assert the flag logic is coherent
+    assert big.split == (big.d <= kwarp.HTX and big.wxpf >= kwarp.HTX + 128)
+
+
 def test_warp_kernel_fast_mode_tolerance(rng):
     """exact=False (--precision fast): single bf16 pass, error bounded by
     ~2^-8 relative (up to a couple of uint8 LSB) — and masks shrink to
@@ -31,7 +54,7 @@ def test_warp_kernel_fast_mode_tolerance(rng):
     tables = kwarp.build_warp_tables(H, W, 0.3)
     masks = kwarp.build_warp_masks(
         tables.dxl, tables.dxr, tables.wx0, tables.wx1,
-        wxd=tables.wxd, exact=False,
+        wxd=tables.wxd, exact=False, split=tables.split,
     )
     assert len(masks) == 1
     got = np.asarray(kwarp.warp_nhwc(imgs, tables, masks, True, False))
@@ -85,6 +108,22 @@ class TestGlitchKernel:
         offs = rng.normal(0, 200, (B, H - y0, 1)).astype(np.float32)  # big -> wraps
         got = np.asarray(kglitch.shear_band_batched(imgs, y0, offs, W, interpret=True))
         want = oracle.apply_glitch_gather(imgs[0], y0, offs[0, :, 0])
+        np.testing.assert_allclose(got[0], want, atol=1e-5)
+
+    @pytest.mark.parametrize("off_val", [128, -128, 129, -129])
+    def test_window_clamp_boundary(self, rng, off_val):
+        """Offsets at exactly +-CLAMP ride the bounded-window kernel;
+        one past it must route to the full-width fallback — both exact."""
+        from pythoncrt_tpu.kernels import glitch as kglitch
+
+        B, H, W, L = 1, 16, 256, 32
+        imgs = rng.random((B, H, W, 3), dtype=np.float32)
+        y0 = 8
+        offs = np.full((B, H - y0, W // L), off_val, np.float32)
+        got = np.asarray(kglitch.shear_band_batched(imgs, y0, offs, L,
+                                                    interpret=True))
+        want = oracle.apply_glitch_gather(
+            imgs[0], y0, np.full(H - y0, off_val, np.float32))
         np.testing.assert_allclose(got[0], want, atol=1e-5)
 
     def test_rows_above_band_untouched(self, rng):
