@@ -5,7 +5,7 @@ Flag surface is name-for-name compatible with the reference CLI
 semantics applied by the driver (:1225-1266). TPU-specific additions:
 --batch-size, --engine-mode, --rng, --seed, --assoc-scan, --precision,
 --preset, --text-preset, --pipe-format, --segment-frames, --profile,
---sharding, --devices.
+--sharding, --devices, --decode-workers.
 """
 
 from __future__ import annotations
@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "visible devices; 'none' forces single-device")
     p.add_argument("--devices", type=int, default=0,
                    help="max devices to shard across (0 = all visible)")
+    p.add_argument("--decode-workers", type=int, default=1,
+                   help="parallel seek-positioned decode workers "
+                        "(1080p@1000fps needs ~6 GB/s of RGB decode; one "
+                        "decoder stream usually can't sustain it)")
     return p
 
 
@@ -199,6 +203,7 @@ def main(argv=None) -> int:
         pipe_format=str(a.pipe_format),
         sharding=str(a.sharding),
         devices=max(0, int(a.devices)),
+        decode_workers=max(1, int(a.decode_workers)),
         segment_frames=max(0, int(a.segment_frames)),
         profile_dir=a.profile or None,
     )

@@ -206,6 +206,12 @@ class CRTEngine:
         if p.pixelate_on:
             y_map, x_map = oracle.pixelate_index_maps(h, w, p.pixel_size)
             c["pix_y"], c["pix_x"] = jnp.asarray(y_map), jnp.asarray(x_map)
+            # gathers are fusion barriers on TPU; shift-selected rolls
+            # fuse into the elementwise chain (static per config)
+            self._pix_shifts = (
+                oresize.roll_gather_shifts(y_map),
+                oresize.roll_gather_shifts(x_map),
+            )
 
         if p.bloom_on:
             if p.fast_bloom:
@@ -310,7 +316,13 @@ class CRTEngine:
             )
 
         if p.pixelate_on:  # stage 3
-            img = oresize.remap_nearest(img, c["pix_y"], c["pix_x"])
+            ys, xs = self._pix_shifts
+            if ys is not None and xs is not None:
+                img = oresize.remap_nearest_rolls(
+                    img, c["pix_y"], c["pix_x"], ys, xs
+                )
+            else:
+                img = oresize.remap_nearest(img, c["pix_y"], c["pix_x"])
 
         img = ocolor.color_adjust(  # stage 4
             img, p.brightness, p.contrast, p.gamma, p.saturation, p.temperature

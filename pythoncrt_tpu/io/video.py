@@ -190,6 +190,7 @@ class FFmpegRawReader:
             raise ValueError(f"unsupported pipe_format {pipe_format!r}")
         self.out_w, self.out_h = int(out_w), int(out_h)
         self.pipe_format = pipe_format
+        self._yuv_buf = None
         cmd = [exe, "-hide_banner", "-loglevel", "error"]
         if hwaccel and hwaccel != "auto":
             cmd += ["-hwaccel", hwaccel]
@@ -207,23 +208,34 @@ class FFmpegRawReader:
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                      stderr=subprocess.DEVNULL)
 
-    def iter_frames(self) -> Iterator[np.ndarray]:
+    def read_into(self, out: np.ndarray) -> bool:
+        """Decode the next frame directly into ``out`` ((H, W, 3) uint8,
+        C-contiguous) — zero staging copies on the rgb24 path (the pipe
+        read lands in the caller's batch buffer). Returns False at EOF."""
         from .. import native
 
         w, h = self.out_w, self.out_h
-        yuv = self.pipe_format == "yuv420p"
-        nbytes = w * h * 3 // 2 if yuv else w * h * 3
-        buf = bytearray(nbytes)
-        view = memoryview(buf)
         assert self.proc.stdout is not None
-        while True:
-            got = native.readinto_exact(self.proc.stdout, view)
+        if self.pipe_format == "yuv420p":
+            nbytes = w * h * 3 // 2
+            if self._yuv_buf is None or len(self._yuv_buf) != nbytes:
+                self._yuv_buf = bytearray(nbytes)
+            got = native.readinto_exact(self.proc.stdout, memoryview(self._yuv_buf))
             if got < nbytes:
+                return False
+            out[...] = native.yuv420p_to_rgb24(bytes(self._yuv_buf), w, h)
+            return True
+        view = memoryview(out).cast("B")
+        got = native.readinto_exact(self.proc.stdout, view)
+        return got == w * h * 3
+
+    def iter_frames(self) -> Iterator[np.ndarray]:
+        w, h = self.out_w, self.out_h
+        while True:
+            out = np.empty((h, w, 3), np.uint8)
+            if not self.read_into(out):
                 return
-            if yuv:
-                yield native.yuv420p_to_rgb24(bytes(buf), w, h)
-            else:
-                yield np.frombuffer(bytes(buf), np.uint8).reshape(h, w, 3)
+            yield out
 
     def close(self) -> None:
         try:
@@ -250,36 +262,151 @@ class CV2Reader:
         self.src_fps = float(self.cap.get(cv2.CAP_PROP_FPS) or fps)
         self.out_fps = float(fps)
         self.start_frame = int(start_frame)
-
-    def iter_frames(self) -> Iterator[np.ndarray]:
-        cv2 = self._cv2
-        src_i = -1
-        out_i = self.start_frame
-        frame = None
+        self._src_i = -1
+        self._out_i = self.start_frame
+        self._frame = None
         ratio = self.src_fps / self.out_fps
-        if out_i > 0:
+        if self._out_i > 0:
             # positioned read: jump to the source frame feeding output
             # frame start_frame (O(remaining) resume)
-            want0 = int(round(out_i * ratio))
+            want0 = int(round(self._out_i * ratio))
             if want0 > 0 and self.cap.set(cv2.CAP_PROP_POS_FRAMES, want0):
-                src_i = want0 - 1
+                self._src_i = want0 - 1
+
+    def read_into(self, out: np.ndarray) -> bool:
+        """Decode the next output frame into ``out`` ((H, W, 3) uint8);
+        the BGR->RGB convert (and resize, if any) write straight into the
+        caller's batch buffer. Returns False at EOF."""
+        cv2 = self._cv2
+        want = int(round(self._out_i * (self.src_fps / self.out_fps)))
+        while self._src_i < want:
+            ok, bgr = self.cap.read()
+            if not ok:
+                return False
+            self._src_i += 1
+            self._frame = bgr
+        f = self._frame
+        if f.shape[1] != self.out_w or f.shape[0] != self.out_h:
+            f = cv2.resize(f, (self.out_w, self.out_h),
+                           interpolation=cv2.INTER_LINEAR)
+        cv2.cvtColor(f, cv2.COLOR_BGR2RGB, dst=out)
+        self._out_i += 1
+        return True
+
+    def iter_frames(self) -> Iterator[np.ndarray]:
         while True:
-            want = int(round(out_i * ratio))
-            while src_i < want:
-                ok, bgr = self.cap.read()
-                if not ok:
-                    return
-                src_i += 1
-                frame = bgr
-            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            if rgb.shape[1] != self.out_w or rgb.shape[0] != self.out_h:
-                rgb = cv2.resize(rgb, (self.out_w, self.out_h),
-                                 interpolation=cv2.INTER_LINEAR)
-            yield np.ascontiguousarray(rgb)
-            out_i += 1
+            out = np.empty((self.out_h, self.out_w, 3), np.uint8)
+            if not self.read_into(out):
+                return
+            yield out
 
     def close(self) -> None:
         self.cap.release()
+
+
+class ChunkedParallelReader:
+    """N seek-positioned decode workers, frame-range partitioned into
+    interleaved chunks, emitting in-order zero-copy batches.
+
+    1080p at 1000 fps needs ~6 GB/s of RGB out of the decoder — more
+    than one ffmpeg/cv2 stream delivers (SURVEY.md §7 hard part 3), so
+    worker w decodes chunks w, w+N, w+2N, ... (chunk = chunk_batches
+    batches), each via an accurate seek open, and iter_batches() yields
+    (abs_index, (B, H, W, 3) uint8) strictly in order. Frames are
+    decoded straight into the batch buffers (read_into), so the only
+    copy on the host is the decoder's own pipe/convert write.
+    """
+
+    def __init__(self, src: str, out_w: int, out_h: int, fps: float,
+                 total_frames: int, batch_size: int, *,
+                 workers: int = 2, chunk_batches: int = 4,
+                 decoder_preference: str = "auto", pipe_format: str = "rgb24",
+                 start_frame: int = 0) -> None:
+        import queue as _q
+        import threading as _t
+
+        self.src, self.out_w, self.out_h, self.fps = str(src), int(out_w), int(out_h), float(fps)
+        self.pref, self.pipe_format = decoder_preference, pipe_format
+        self.batch = int(batch_size)
+        self.chunk = self.batch * int(chunk_batches)
+        self.start = int(start_frame)
+        self.total = int(total_frames)
+        n_chunks = max(1, -(-(self.total - self.start) // self.chunk))
+        self.n_chunks = n_chunks
+        self.workers = max(1, min(int(workers), n_chunks))
+        self._qs = [_q.Queue(maxsize=2) for _ in range(self.workers)]
+        self._stop = _t.Event()
+        self._threads = [
+            _t.Thread(target=self._worker, args=(w,), daemon=True)
+            for w in range(self.workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self, wid: int) -> None:
+        q = self._qs[wid]
+        try:
+            for ci in range(wid, self.n_chunks, self.workers):
+                if self._stop.is_set():
+                    break
+                f0 = self.start + ci * self.chunk
+                f1 = min(self.start + (ci + 1) * self.chunk, self.total)
+                rdr = open_reader(self.src, self.out_w, self.out_h, self.fps,
+                                  self.pref, self.pipe_format, start_frame=f0)
+                try:
+                    got = 0
+                    buf = np.empty((f1 - f0, self.out_h, self.out_w, 3), np.uint8)
+                    while got < f1 - f0 and not self._stop.is_set():
+                        if not rdr.read_into(buf[got]):
+                            break
+                        got += 1
+                finally:
+                    rdr.close()
+                while not self._stop.is_set():
+                    try:
+                        q.put((ci, buf[:got]), timeout=0.2)
+                        break
+                    except Exception:
+                        continue
+                if got < f1 - f0:
+                    break  # EOF short of expectation: downstream stops here
+        finally:
+            try:
+                q.put(None, timeout=5)
+            except Exception:
+                pass
+
+    def iter_batches(self, batch_size: int):
+        """Yield (abs_frame_index, (<=batch_size, H, W, 3) uint8 view)
+        strictly in stream order."""
+        assert batch_size == self.batch
+        for ci in range(self.n_chunks):
+            item = self._qs[ci % self.workers].get()
+            if item is None:
+                return
+            got_ci, frames = item
+            assert got_ci == ci, (got_ci, ci)
+            f0 = self.start + ci * self.chunk
+            for b0 in range(0, frames.shape[0], self.batch):
+                yield f0 + b0, frames[b0:b0 + self.batch]
+            if frames.shape[0] < min(self.chunk, self.total - f0):
+                return  # early EOF
+        return
+
+    def iter_frames(self):  # compatibility with the sequential interface
+        for _, batch in self.iter_batches(self.batch):
+            yield from batch
+
+    def close(self) -> None:
+        self._stop.set()
+        for q in self._qs:
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
+        for t in self._threads:
+            t.join(timeout=10)
 
 
 def open_reader(

@@ -31,6 +31,49 @@ def remap_nearest(img: jnp.ndarray, y_map: jnp.ndarray, x_map: jnp.ndarray) -> j
     return gather_cols(gather_rows(img, y_map), x_map)
 
 
+def roll_gather_shifts(index_map) -> "list | None":
+    """If the 1-D gather index map reads only a few positions behind
+    (map[c] = c - s, s >= 0, small distinct shift count), return the
+    sorted distinct shifts; else None. Pixelate's composed nearest maps
+    always qualify (each output reads the head pixel of its block)."""
+    import numpy as np
+
+    m = np.asarray(index_map)
+    s = np.arange(m.shape[0]) - m
+    if s.min() < 0 or s.max() > 16 or len(np.unique(s)) > 16:
+        return None
+    return [int(v) for v in np.unique(s) if v != 0]
+
+
+def remap_nearest_rolls(img: jnp.ndarray, y_map, x_map,
+                        y_shifts, x_shifts,
+                        y_axis: int = 0, x_axis: int = 1) -> jnp.ndarray:
+    """remap_nearest expressed as shift-selected static rolls — exact:
+    out[c] = img[map[c]] with map[c] = c - s(c), and roll(v, s)[c] =
+    v[c - s]. Gathers are fusion barriers on TPU; rolls + selects fuse
+    into the surrounding elementwise chain.
+
+    y_shifts/x_shifts come from roll_gather_shifts; y_map/x_map are the
+    original index maps (device arrays) used to build the per-coordinate
+    shift selectors.
+    """
+    out = img
+    for axis, m, shifts in ((y_axis, y_map, y_shifts), (x_axis, x_map, x_shifts)):
+        if not shifts:
+            continue
+        n = img.shape[axis]
+        shift = jnp.arange(n, dtype=jnp.int32) - m.astype(jnp.int32)
+        shape = [1] * img.ndim
+        shape[axis] = n
+        shift = shift.reshape(shape)
+        base = out
+        res = base
+        for s in shifts:
+            res = jnp.where(shift == s, jnp.roll(base, s, axis=axis), res)
+        out = res
+    return out
+
+
 def resize_bilinear_axis0(img, lo, frac):
     """2-tap lerp along axis 0. lo: int32 [out], frac: f32 [out]."""
     h = img.shape[0]

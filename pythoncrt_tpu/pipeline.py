@@ -51,7 +51,11 @@ def _feeder(
     reader, batch_size: int, out_q: queue.Queue, stop: threading.Event,
     start_idx: int = 0,
 ) -> None:
-    """Decode thread: accumulate frames into (B, H, W, 3) batches.
+    """Decode thread: fill (B, H, W, 3) uint8 batch buffers.
+
+    Frames are decoded straight into the batch buffer (read_into), so
+    the host path is decoder-write -> device_put with no staging copies;
+    parallel chunked readers hand over whole in-order batches.
 
     start_idx: absolute frame position of the reader's first frame
     (segment resume seeks the decoder, so no frames are dropped here);
@@ -59,18 +63,26 @@ def _feeder(
     RNG keys are identical to an uninterrupted render.
     """
     try:
-        buf, idx0, n = [], start_idx, start_idx
-        for frame in perf.timed_iter(reader.iter_frames(), "io.decode"):
-            if stop.is_set():
-                break
-            buf.append(frame)
-            n += 1
-            if len(buf) == batch_size:
-                if not _put_or_stop(out_q, (idx0, np.stack(buf)), stop):
+        if hasattr(reader, "iter_batches"):
+            for idx0, batch in reader.iter_batches(batch_size):
+                if stop.is_set() or not _put_or_stop(out_q, (idx0, batch), stop):
                     break
-                idx0, buf = n, []
-        if buf and not stop.is_set():
-            _put_or_stop(out_q, (idx0, np.stack(buf)), stop)
+            return
+        h, w = reader.out_h, reader.out_w
+        idx0 = start_idx
+        while not stop.is_set():
+            buf = np.empty((batch_size, h, w, 3), np.uint8)
+            got = 0
+            with perf.timed("io.decode"):
+                while got < batch_size and reader.read_into(buf[got]):
+                    got += 1
+            if got == 0:
+                break
+            if not _put_or_stop(out_q, (idx0, buf[:got]), stop):
+                break
+            idx0 += got
+            if got < batch_size:
+                break
     finally:
         # best-effort sentinel: if the consumer already stopped, don't block
         try:
@@ -183,6 +195,7 @@ def process_video(
     pipe_format: str = "rgb24",
     sharding: str = "auto",
     devices: int = 0,
+    decode_workers: int = 1,
     segment_frames: int = 0,
     progress_cb: Optional[Callable[[float], None]] = None,
     report: bool = True,
@@ -283,10 +296,17 @@ def process_video(
 
     # opened after the resume point is known: the decoder seeks straight
     # to the first unrendered frame (O(remaining) resume)
-    reader = vio.open_reader(
-        str(input_path), out_w, out_h, fps_out, decoder_preference, pipe_format,
-        start_frame=skip,
-    )
+    if decode_workers > 1:
+        reader = vio.ChunkedParallelReader(
+            str(input_path), out_w, out_h, fps_out, total_frames, batch_size,
+            workers=decode_workers, decoder_preference=decoder_preference,
+            pipe_format=pipe_format, start_frame=skip,
+        )
+    else:
+        reader = vio.open_reader(
+            str(input_path), out_w, out_h, fps_out, decoder_preference,
+            pipe_format, start_frame=skip,
+        )
 
     decode_q: queue.Queue = queue.Queue(maxsize=4)
     encode_q: queue.Queue = queue.Queue(maxsize=4)

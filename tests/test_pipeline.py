@@ -75,6 +75,51 @@ class TestIO:
         r.close()
         assert len(got) in (6, 7)
 
+    def test_read_into_matches_iter(self, tiny_clip):
+        path, _ = tiny_clip
+        r1 = vio.open_reader(str(path), 64, 48, 24)
+        seq = list(r1.iter_frames())
+        r1.close()
+        r2 = vio.open_reader(str(path), 64, 48, 24)
+        for f in seq:
+            out = np.empty((48, 64, 3), np.uint8)
+            assert r2.read_into(out)
+            np.testing.assert_array_equal(out, f)
+        assert not r2.read_into(np.empty((48, 64, 3), np.uint8))
+        r2.close()
+
+    @pytest.mark.parametrize("workers,chunk_batches", [(2, 1), (3, 2)])
+    def test_parallel_reader_matches_sequential(self, tiny_clip, workers,
+                                                chunk_batches):
+        path, frames = tiny_clip
+        seq = vio.open_reader(str(path), 64, 48, 24)
+        want = np.stack(list(seq.iter_frames()))
+        seq.close()
+        par = vio.ChunkedParallelReader(
+            str(path), 64, 48, 24, total_frames=len(want), batch_size=4,
+            workers=workers, chunk_batches=chunk_batches,
+        )
+        got, idx = [], []
+        for i0, batch in par.iter_batches(4):
+            idx.append(i0)
+            got.append(np.array(batch))
+        par.close()
+        got = np.concatenate(got)
+        assert idx == sorted(idx)
+        np.testing.assert_array_equal(got, want)
+
+    def test_parallel_reader_overestimated_total(self, tiny_clip):
+        """total_frames from ceil(duration*fps) can overshoot the real
+        count; the reader must stop cleanly at actual EOF."""
+        path, frames = tiny_clip
+        par = vio.ChunkedParallelReader(
+            str(path), 64, 48, 24, total_frames=len(frames) + 5,
+            batch_size=4, workers=2, chunk_batches=1,
+        )
+        got = sum(b.shape[0] for _, b in par.iter_batches(4))
+        par.close()
+        assert got == len(frames)
+
     def test_writer_roundtrip(self, tmp_path):
         frames = synth_frames(6, 48, 64, seed=1)
         w, used_gpu = vio.open_writer(str(tmp_path / "o.mp4"), 64, 48, 24)
@@ -275,6 +320,20 @@ class TestCLI:
         process_video(path, out, EffectParams(persistence=0.0),
                       batch_size=4, sharding="auto", devices=2, report=False)
         assert vio.probe_clip(out).frame_count == 12
+
+    def test_parallel_decode_matches_single(self, tiny_clip, tmp_path):
+        """decode_workers=2 must produce the same video as sequential
+        decode (in-order batches, same frames, persistence chain intact)."""
+        path, _ = tiny_clip
+        p = EffectParams(persistence=0.6, noise_strength=0.0)
+        out1 = tmp_path / "w1.mp4"
+        out2 = tmp_path / "w2.mp4"
+        process_video(path, out1, p, batch_size=4, report=False)
+        process_video(path, out2, p, batch_size=4, decode_workers=2,
+                      report=False)
+        a, b = read_clip(out1), read_clip(out2)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
 
     def test_gui_flag_degrades_gracefully(self):
         res = subprocess.run(
