@@ -176,10 +176,12 @@ class CRTEngine:
             y0, rows = _o.glitch_rows(self.h, p.glitch_height_frac)
             glitch_ok = rows > 0 and self.w % 128 == 0 and y0 - ((-rows) % 8) >= 0
         self._pallas_glitch = bool(enabled and glitch_ok)
-        # The fused bloom kernel (kernels/bloom.py) measured SLOWER than
-        # XLA's shifted-adds at 1080p (4.2-4.9 vs 1.7 ms/frame): Mosaic
-        # lowers its unaligned lane slices to multi-pass rotates. Kept
-        # for future work (PCRT_PALLAS_BLOOM=1 opts in); XLA is default.
+        # The retired stripe bloom kernel (kernels/bloom.py) measured
+        # SLOWER than XLA (4.2-4.9 vs 1.7 ms/frame — unaligned lane
+        # slices become multi-pass rotates); PCRT_PALLAS_BLOOM=1 still
+        # opts in for A/B. The banded-matmul kernel (kernels/bloom2.py)
+        # replaces it as the default: both bloom variants as one fused
+        # pass, horizontal taps on the MXU, no lane shifts at all.
         self._pallas_bloom = bool(
             enabled and p.bloom_on and not p.fast_bloom and shape_ok
             and os.environ.get("PCRT_PALLAS_BLOOM") == "1"
@@ -190,10 +192,40 @@ class CRTEngine:
             self._bloom_spec = _kb.build_bloom_spec(
                 self.h, self.w, p.bloom_sigma, p.bloom_strength, p.bloom_threshold
             )
+        # Dispatch is measured per variant at 1080p: the fast (half-res
+        # down+up) composite wins big in the kernel (0.94 -> ~0.4 ms/f),
+        # but for the gaussian variant XLA's fused shifted-adds still
+        # beat the banded matmul (0.65 vs 0.82 ms/f — the kernel pays
+        # K=384 windows and per-program DMA for taps XLA folds into the
+        # elementwise chain). PCRT_BLOOM2_GAUSS=1 opts the gaussian in
+        # for A/B on other shapes.
+        self._pallas_bloom2 = False
+        want2 = p.fast_bloom or os.environ.get("PCRT_BLOOM2_GAUSS") == "1"
+        if (enabled and p.bloom_on and shape_ok and want2
+                and not self._pallas_bloom
+                and os.environ.get("PCRT_NO_BLOOM2") != "1"):
+            from .kernels import bloom2 as _kb2
+
+            try:
+                self._bloom2_spec = _kb2.build_bloom2_spec(
+                    self.h, self.w,
+                    variant="fast" if p.fast_bloom else "gaussian",
+                    sigma=p.bloom_sigma, strength=p.bloom_strength,
+                    threshold=p.bloom_threshold,
+                )
+                self._pallas_bloom2 = True
+            except ValueError:
+                pass  # band too wide for the lane halo -> XLA fallback
         if self._pallas_warp:
             from .kernels import warp as _kw
 
-            self._warp_tables = _kw.build_warp_tables(self.h, self.w, p.warp_strength)
+            # The kernel runs in the bf16 int domain (see kernels/warp.py).
+            # row_align stays 8: bf16 DMA from a sublane-8 origin verified
+            # correct on v5e, and 16-alignment would grow the window band
+            # (byp 32 -> 40 at 1080p = +25% matmul M for nothing).
+            self._warp_tables = _kw.build_warp_tables(
+                self.h, self.w, p.warp_strength, row_align=8
+            )
 
     # ------------------------------------------------------------------
     # Host-side constant tables (oracle is the single source of truth)
@@ -205,16 +237,33 @@ class CRTEngine:
 
         if p.pixelate_on:
             y_map, x_map = oracle.pixelate_index_maps(h, w, p.pixel_size)
-            c["pix_y"], c["pix_x"] = jnp.asarray(y_map), jnp.asarray(x_map)
+            c["pix_y"] = jnp.asarray(y_map)
+            # Aberration (stage 2, wrap-around x roll per channel) and
+            # pixelate (stage 3, static nearest gather) are both static
+            # index maps on x, so they COMPOSE: one per-channel map runs
+            # on the uint8 input and the aberration rolls vanish.
+            ab = int(p.aberration_px) if p.aberration_on else 0
+            xm = {0: (x_map - ab) % w, 1: x_map, 2: (x_map + ab) % w}
+            self._pix_chan_maps = ab != 0
+            if self._pix_chan_maps:
+                c["pix_x"], c["pix_x_r"], c["pix_x_b"] = (
+                    jnp.asarray(xm[1]), jnp.asarray(xm[0]), jnp.asarray(xm[2])
+                )
+            else:
+                c["pix_x"] = jnp.asarray(x_map)
             # gathers are fusion barriers on TPU; shift-selected rolls
             # fuse into the elementwise chain (static per config)
             self._pix_shifts = (
                 oresize.roll_gather_shifts(y_map),
-                oresize.roll_gather_shifts(x_map),
+                tuple(oresize.roll_gather_shifts(xm[i]) for i in range(3)),
             )
 
         if p.bloom_on:
-            if p.fast_bloom:
+            if self._pallas_bloom2:
+                from .kernels import bloom2 as _kb2
+
+                c["bloom2_m"] = _kb2.build_bloom2_consts(self._bloom2_spec)
+            elif p.fast_bloom:
                 h2, w2 = max(1, h // 2), max(1, w // 2)
                 c["bloom_down"] = tuple(jnp.asarray(a) for a in
                                         (*oops.bilinear_taps(h, h2), *oops.bilinear_taps(w, w2)))
@@ -260,8 +309,9 @@ class CRTEngine:
                 t = self._warp_tables
                 c["warp_m"] = jax.jit(
                     functools.partial(_kw.build_warp_masks, wxd=t.wxd,
-                                      exact=self._exact, split=t.split)
-                )(t.dxl, t.dxr, t.wx0, t.wx1)
+                                      byp=t.byp, exact=self._exact,
+                                      split=t.split)
+                )(t.dxl, t.dxr, t.wx0, t.wx1, t.ylrel, t.yrrel, t.wy0, t.wy1)
             else:
                 map_x, map_y = oracle.barrel_warp_maps(h, w, p.warp_strength)
                 x0, fx = oops.split_map(map_x)
@@ -293,6 +343,17 @@ class CRTEngine:
             c["text_rgb"] = jnp.asarray(ov[..., :3].astype(np.float32) / 255.0)
         self._has_text = "text_alpha" in c
 
+        # When the Pallas warp is the LAST stage before the uint8 cast
+        # (no text-after, no glitch, no persistence), it emits f32 in
+        # [0, 255] and _finish rints that directly — the whole f32->u8
+        # epilogue folds into the kernel's output pass.
+        self._warp_emit_scaled = bool(
+            self._pallas_warp
+            and not p.persistence_on
+            and not p.glitch_on
+            and not (self._has_text and p.text.after)
+        )
+
         self._base_key = jax.random.key(self.seed)
         self._c = c
 
@@ -301,28 +362,44 @@ class CRTEngine:
     # ------------------------------------------------------------------
 
     def _frame_pre_bloom(self, c: dict, frame_u8: jax.Array, aux_row) -> jax.Array:
-        """Stages 1-5 for one frame (vmapped)."""
-        p = self.params
-        img = frame_u8.astype(jnp.float32) / 255.0  # stage 1
+        """Stages 1-5 for one frame (vmapped).
 
-        if p.aberration_on:  # stage 2
-            img = jnp.stack(
+        Stages 2-3 (aberration roll, pixelate gather) are static index
+        maps, which commute with the /255 convert — so they run on the
+        UINT8 input (4x less roll/gather traffic than after stage 1),
+        with aberration composed into pixelate's per-channel x maps
+        when both are on. Values are bit-identical either way."""
+        p = self.params
+        x = frame_u8
+
+        if p.pixelate_on:  # stages 2+3 composed
+            ys, xss = self._pix_shifts
+            if self._pix_chan_maps:
+                maps = (c["pix_x_r"], c["pix_x"], c["pix_x_b"])
+                chans = []
+                for ci in range(3):
+                    if ys is not None and xss[ci] is not None:
+                        chans.append(oresize.remap_nearest_rolls(
+                            x[..., ci], c["pix_y"], maps[ci], ys, xss[ci]))
+                    else:
+                        chans.append(oresize.remap_nearest(
+                            x[..., ci], c["pix_y"], maps[ci]))
+                x = jnp.stack(chans, axis=-1)
+            elif ys is not None and xss[1] is not None:
+                x = oresize.remap_nearest_rolls(x, c["pix_y"], c["pix_x"], ys, xss[1])
+            else:
+                x = oresize.remap_nearest(x, c["pix_y"], c["pix_x"])
+        elif p.aberration_on:  # stage 2 alone: wrap rolls on uint8
+            x = jnp.stack(
                 [
-                    jnp.roll(img[..., 0], p.aberration_px, axis=1),
-                    img[..., 1],
-                    jnp.roll(img[..., 2], -p.aberration_px, axis=1),
+                    jnp.roll(x[..., 0], p.aberration_px, axis=1),
+                    x[..., 1],
+                    jnp.roll(x[..., 2], -p.aberration_px, axis=1),
                 ],
                 axis=-1,
             )
 
-        if p.pixelate_on:  # stage 3
-            ys, xs = self._pix_shifts
-            if ys is not None and xs is not None:
-                img = oresize.remap_nearest_rolls(
-                    img, c["pix_y"], c["pix_x"], ys, xs
-                )
-            else:
-                img = oresize.remap_nearest(img, c["pix_y"], c["pix_x"])
+        img = x.astype(jnp.float32) / 255.0  # stage 1
 
         img = ocolor.color_adjust(  # stage 4
             img, p.brightness, p.contrast, p.gamma, p.saturation, p.temperature
@@ -422,7 +499,13 @@ class CRTEngine:
         p = self.params
         imgs = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
         if p.bloom_on:  # stage 6
-            if self._pallas_bloom:
+            if self._pallas_bloom2:
+                from .kernels import bloom2 as _kb2
+
+                imgs = _kb2.bloom2_nhwc(
+                    imgs, self._bloom2_spec, c["bloom2_m"], self._interpret
+                )
+            elif self._pallas_bloom:
                 from .kernels import bloom as _kb
 
                 imgs = _kb.bloom_nhwc(imgs, self._bloom_spec, self._interpret)
@@ -435,7 +518,9 @@ class CRTEngine:
                 from .kernels import warp as _kw
 
                 imgs = _kw.warp_nhwc(
-                    imgs, self._warp_tables, c["warp_m"], self._interpret, self._exact
+                    imgs, self._warp_tables, c["warp_m"], self._interpret,
+                    self._exact, int_domain=True,
+                    emit_scaled=self._warp_emit_scaled,
                 )
             else:
                 imgs = jax.vmap(
@@ -474,6 +559,12 @@ class CRTEngine:
     def _finish(self, imgs, state, first_arr):
         """Persistence scan over the batch axis + uint8 cast (stage 15)."""
         p = self.params
+        if self._warp_emit_scaled:
+            # imgs are f32 in [0, 255] straight from the warp kernel
+            # (persistence is off by construction of the flag); the
+            # uint8 cast is just rint + clip, no *255 pass.
+            out = jnp.clip(jnp.rint(imgs), 0.0, 255.0).astype(jnp.uint8)
+            return out, imgs[-1] * np.float32(1.0 / 255.0)
         if p.persistence_on:
             pp = np.float32(p.persistence)
             om = np.float32(1.0 - p.persistence)

@@ -1,0 +1,326 @@
+"""Pallas TPU kernel: fused separable bloom as banded one-hot matmuls.
+
+Replaces stage 6 (crt_filter.py:599-611 gaussian; :606-607 fast) with a
+single fused pass: knee -> horizontal composite -> vertical composite ->
+img + strength*blur -> clip. Both bloom variants are SEPARABLE linear
+maps over rows/columns:
+
+- gaussian: the oracle's replicate-border blur matrix per axis;
+- fast: the half-res bilinear down+up COMPOSED per axis (so the
+  half-res intermediate never exists — the HBM round-trip and the
+  4 axis-gathers of the XLA path vanish).
+
+The first Pallas bloom attempt (kernels/bloom.py) lost to XLA because
+its horizontal taps were unaligned static lane slices, which Mosaic
+lowers to multi-pass rotates. Here the horizontal pass is an MXU
+matmul against per-column-tile banded masks — the same trick as the
+warp kernel — so NO lane shifts exist at all:
+
+  per (col-tile j, row-strip i, batch b) program:
+    1. DMA the (SY, K=384) f32 window at static row origin i*TY (input
+       is top/bottom zero-row padded so the vertical band never leaves
+       the array) and 128-aligned lane origin base(j);
+    2. knee on the window (VPU);
+    3. horizontal composite: 3-pass hi/lo bf16 matmul (SY, 384) @
+       (384, 128) against the tile's banded mask (taps at interleaved
+       NHWC lane offsets: channel c reads lanes 3x'+c — alignment free,
+       borders folded into the mask entries);
+    4. vertical composite: static unrolled FMAs against per-row weight
+       columns (band offsets are global statics; border rows carry the
+       folded border weights, padded rows carry exact zeros);
+    5. out = clip(center + strength*blur) — center streams in as a
+       second, normally-pipelined input.
+
+Numerics: composing each axis's two resizes (fast) or folding border
+taps (both) reassociates a handful of f32 adds and the MXU accumulates
+in hardware order; with the hi/lo mask split (lo*lo term dropped) the
+total error is ~2^-17 relative — two orders below the uint8 LSB budget
+(PARITY.md). Not bit-identical to the oracle's pass order, unlike the
+retired stripe kernel, but far inside the <=1 LSB contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..oracle.ops import bilinear_taps, gaussian_kernel_1d
+
+KW = 384  # lane window per column tile (center 128 + 128 halo each side)
+TXL = 128  # output lanes per program
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_ty(h: int) -> int:
+    for ty in (40, 32, 24, 16, 8):
+        if h % ty == 0:
+            return ty
+    raise ValueError(f"height {h} not divisible by 8")
+
+
+def _gaussian_matrix(n: int, sigma: float) -> np.ndarray:
+    """(n, n) f32 replicate-border blur matrix from the oracle's taps
+    (border taps fold onto the clipped index — reassociates the
+    oracle's sequential adds at borders by ~1 ulp)."""
+    k = max(1, int(round(sigma * 3)) * 2 + 1)
+    taps = gaussian_kernel_1d(k, sigma).astype(np.float64)
+    r = k // 2
+    m = np.zeros((n, n), np.float64)
+    idx = np.arange(n)
+    for i, t in enumerate(taps):
+        src = np.clip(idx + i - r, 0, n - 1)
+        np.add.at(m, (idx, src), t)
+    return m.astype(np.float32)
+
+
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) f32 matrix of oracle.ops.bilinear_taps resampling."""
+    lo, frac = bilinear_taps(n_in, n_out)
+    hi = np.minimum(lo + 1, n_in - 1)
+    m = np.zeros((n_out, n_in), np.float64)
+    idx = np.arange(n_out)
+    np.add.at(m, (idx, lo), 1.0 - frac.astype(np.float64))
+    np.add.at(m, (idx, hi), frac.astype(np.float64))
+    return m.astype(np.float32)
+
+
+def _fast_matrix(n: int) -> np.ndarray:
+    """Half-res bilinear down+up composed along one axis."""
+    n2 = max(1, n // 2)
+    return (_resize_matrix(n, n2).astype(np.float64).T
+            @ _resize_matrix(n2, n).astype(np.float64).T).T.astype(np.float32)
+
+
+def _band(m: np.ndarray):
+    """Extract (offsets d0..d1, weights (nd, n)) of a banded (n, n)
+    matrix: weights[d - d0, y] = m[y, y + d]."""
+    n = m.shape[0]
+    ys, xs = np.nonzero(m)
+    d0, d1 = int((xs - ys).min()), int((xs - ys).max())
+    nd = d1 - d0 + 1
+    wts = np.zeros((nd, n), np.float32)
+    for d in range(d0, d1 + 1):
+        y = np.arange(max(0, -d), min(n, n - d))
+        wts[d - d0, y] = m[y, y + d]
+    return d0, d1, wts
+
+
+def _lane_masks(hm: np.ndarray, w: int) -> np.ndarray:
+    """Per-column-tile banded masks over interleaved NHWC lanes.
+
+    mask[j, k, n] = hm[x0, x'] where out lane 128j+n = 3*x0 + c and
+    window lane k = 3*x' + c - base(j). K=384 windows at base(j) =
+    clip(128(j-1), 0, W3-384) cover every row's band (|d| <= 42 px)."""
+    w3 = 3 * w
+    ntw = w3 // TXL
+    masks = np.zeros((ntw, KW, TXL), np.float32)
+    for j in range(ntw):
+        base = min(max(TXL * (j - 1), 0), w3 - KW)
+        l0 = TXL * j + np.arange(TXL)
+        x0, c = l0 // 3, l0 % 3
+        for n in range(TXL):
+            row = hm[x0[n]]
+            nz = np.nonzero(row)[0]
+            k = 3 * nz + c[n] - base
+            assert k.min() >= 0 and k.max() < KW, (j, n, k.min(), k.max())
+            masks[j, k, n] = row[nz]
+    return masks
+
+
+@dataclass(frozen=True)
+class Bloom2Spec:
+    h: int
+    w: int
+    variant: str  # "gaussian" | "fast"
+    strength: float
+    threshold: float
+    ty: int
+    sy: int  # window rows = ty + nd - 1 (top/bottom pad makes it valid)
+    d0: int  # vertical band offsets (d0 <= 0 <= d1 in practice)
+    d1: int
+    masks: np.ndarray = field(repr=False)  # (ntw, KW, TXL) f32
+    vwts: np.ndarray = field(repr=False)  # (nd, h) f32
+
+
+def build_bloom2_spec(h: int, w: int, *, variant: str, sigma: float = 0.0,
+                      strength: float = 0.0, threshold: float = 0.0) -> Bloom2Spec:
+    if h % 8 or w % 128:
+        raise ValueError(f"bloom2 needs H%8==0 and W%128==0, got {h}x{w}")
+    if variant == "gaussian":
+        hm, vm = _gaussian_matrix(w, sigma), _gaussian_matrix(h, sigma)
+    elif variant == "fast":
+        hm, vm = _fast_matrix(w), _fast_matrix(h)
+    else:
+        raise ValueError(f"unknown bloom variant {variant!r}")
+    d0, d1, vwts = _band(vm)
+    ty = _pick_ty(h)
+    # band must fit the 128-lane halo on each side of a column tile
+    ys, xs = np.nonzero(hm)
+    if 3 * int(np.abs(xs - ys).max()) + 2 > TXL:
+        raise ValueError("horizontal band exceeds the 128-lane halo")
+    return Bloom2Spec(
+        h=h, w=w, variant=variant, strength=float(strength),
+        threshold=float(min(0.99, max(0.0, threshold))),
+        # window rows rounded to the 8-sublane DMA tiling; the extra
+        # bottom rows are zero-padded and carry no vertical weights
+        ty=ty, sy=_round_up(ty + (d1 - d0) + 1 - 1, 8), d0=d0, d1=d1,
+        masks=_lane_masks(hm, w), vwts=vwts,
+    )
+
+
+def build_bloom2_consts(spec: Bloom2Spec):
+    """Device constants (passed as jit args, never closure captures):
+    hi/lo bf16 mask pair + per-strip vertical weight blocks
+    vws[i, d, r] = vwts[d, i*ty + r] (strips overlap in source rows, so
+    BlockSpec blocking can't slice one shared table)."""
+    m = jnp.asarray(spec.masks)
+    m_hi = m.astype(jnp.bfloat16)
+    m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    n_i = spec.h // spec.ty
+    vws = spec.vwts.reshape(spec.vwts.shape[0], n_i, spec.ty).transpose(1, 0, 2)
+    return m_hi, m_lo, jnp.asarray(np.ascontiguousarray(vws))
+
+
+def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
+                   out_ref, win_ref, sem, *, spec: Bloom2Spec,
+                   interpret: bool = False, fpp: int = 1):
+    # grid (j, i, b-group): mask blocks re-fetch only when j advances.
+    # fpp frames per program + 3-deep prefetch: the kernel is DMA-
+    # latency bound at one frame per program (like the warp kernel), so
+    # batching frames amortizes the per-program overhead and fills the
+    # MXU's M dim (fpp*sy rows).
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    b = pl.program_id(2)
+    n_i, n_b = pl.num_programs(1), pl.num_programs(2)
+    t = (j * n_i + i) * n_b + b
+    n_t = pl.num_programs(0) * n_i * n_b
+    nbuf = 3
+    slot = jax.lax.rem(t, nbuf)
+    ty, sy = spec.ty, spec.sy
+    w3 = 3 * spec.w
+    nd = spec.d1 - spec.d0 + 1
+
+    def start_dma(tt, sl):
+        bb = jax.lax.rem(tt, n_b)
+        ii = jax.lax.rem(tt // n_b, n_i)
+        jj = tt // (n_b * n_i)
+        base = jnp.clip(TXL * (jj - 1), 0, w3 - KW)
+        pltpu.make_async_copy(
+            img_ref.at[pl.ds(bb * fpp, fpp), pl.ds(ii * ty, sy),
+                       pl.ds(pl.multiple_of(base, TXL), KW)],
+            win_ref.at[sl],
+            sem.at[sl],
+        ).start()
+
+    @pl.when(t == 0)
+    def _():
+        start_dma(t, slot)
+        for ahead in range(1, nbuf - 1):
+            @pl.when(t + ahead < n_t)
+            def _(ahead=ahead):
+                start_dma(t + ahead, jax.lax.rem(t + ahead, nbuf))
+
+    @pl.when(t + nbuf - 1 < n_t)
+    def _():
+        start_dma(t + nbuf - 1, jax.lax.rem(t + nbuf - 1, nbuf))
+
+    pltpu.make_async_copy(
+        img_ref.at[pl.ds(0, fpp), pl.ds(0, sy), pl.ds(0, KW)],
+        win_ref.at[slot],
+        sem.at[slot],
+    ).wait()
+
+    src = win_ref[slot]  # (FPP, SY, KW) f32
+    if spec.threshold > 0.0:
+        thr = np.float32(spec.threshold)
+        src = jnp.clip(
+            (src - thr) * np.float32(1.0 / max(1e-6, 1.0 - spec.threshold)),
+            0.0, 1.0,
+        )
+
+    # horizontal composite: 3-pass hi/lo bf16 split (lo*lo dropped,
+    # ~2^-18 relative — see kernels/warp.py matmul3); frames fold into
+    # the matmul M dim.
+    src2 = src.reshape(fpp * sy, KW)
+    v_hi = src2.astype(jnp.bfloat16)
+    v_lo = (src2 - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mh, ml = mhi_ref[0], mlo_ref[0]
+    if interpret:
+        # default-precision f32 dot re-truncates inputs to bf16 in
+        # interpret mode (measured: 4e-2 error on unit sums), while the
+        # MXU consumes the bf16 limbs exactly and accumulates in f32.
+        # HIGHEST precision is accurate but pathologically slow on the
+        # CPU interpreter, so emulate the hardware numerics with an
+        # explicit f32 broadcast-multiply-sum (test shapes are tiny).
+        def dot(a, bmat):
+            return (a.astype(jnp.float32)[:, :, None]
+                    * bmat.astype(jnp.float32)[None]).sum(axis=1)
+    else:
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    hacc = (dot(v_hi, mh) + dot(v_hi, ml) + dot(v_lo, mh)).reshape(
+        fpp, sy, TXL)
+
+    # vertical composite: static band FMAs with per-row weight columns.
+    # hacc[f, rel] holds hblur(image row i*ty + rel + d0) (padded rows
+    # are exact zeros with zero weights), so output row r's offset-d
+    # term is vws[i, d, r] * hacc[f, r + d].
+    vacc = None
+    for d in range(nd):
+        term = vw_ref[0, d][None, :, None] * hacc[:, d:d + ty, :]
+        vacc = term if vacc is None else vacc + term
+
+    out_ref[...] = jnp.clip(
+        center_ref[...] + np.float32(spec.strength) * vacc, 0.0, 1.0
+    )
+
+
+def bloom2_nhwc(imgs: jax.Array, spec: Bloom2Spec, consts=None,
+                interpret: bool = False) -> jax.Array:
+    """Fused bloom over (B, H, W, 3) f32 in [0, 1].
+
+    consts: the (m_hi, m_lo, vw) triple from build_bloom2_consts —
+    engines build it once per config and pass it as a jit argument;
+    None rebuilds inline (tests / one-shot use).
+    """
+    b, h, w = imgs.shape[0], spec.h, spec.w
+    if consts is None:
+        consts = build_bloom2_consts(spec)
+    m_hi, m_lo, vw = consts
+    flat = imgs.reshape(b, h, 3 * w)
+    nd = spec.d1 - spec.d0 + 1
+    # zero rows outside the image carry exact-zero vertical weights;
+    # the bottom pad also covers the 8-row window alignment of sy
+    padded = jnp.pad(flat, ((0, 0), (-spec.d0, spec.sy - spec.ty + spec.d0), (0, 0)))
+    # frames per program (see _bloom2_kernel)
+    fpp = next(f for f in (4, 2, 1) if b % f == 0)
+    grid = (3 * w // TXL, h // spec.ty, b // fpp)
+    out = pl.pallas_call(
+        functools.partial(_bloom2_kernel, spec=spec, interpret=interpret,
+                          fpp=fpp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # padded image (manual DMA)
+            pl.BlockSpec((fpp, spec.ty, TXL), lambda j, i, bb: (bb, i, j)),
+            pl.BlockSpec((1, KW, TXL), lambda j, i, bb: (j, 0, 0)),
+            pl.BlockSpec((1, KW, TXL), lambda j, i, bb: (j, 0, 0)),
+            pl.BlockSpec((1, nd, spec.ty), lambda j, i, bb: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fpp, spec.ty, TXL), lambda j, i, bb: (bb, i, j)),
+        out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, fpp, spec.sy, KW), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(padded, flat, m_hi, m_lo, vw)
+    return out.reshape(b, h, w, 3)

@@ -79,17 +79,23 @@ class WarpTables:
     # — K=128 with ZERO Mosaic pad, vs K=wxd padded up to 256 (half the
     # MACs at 1080p). Falls back to the full-K path at larger strengths.
     split: bool = False
+    row_align: int = 8  # DMA row-origin alignment the tables were built for
 
     @property
     def grid(self):
         return (self.h // TY, self.w // TX)
 
 
-def build_warp_tables(h: int, w: int, strength: float) -> WarpTables:
+def build_warp_tables(h: int, w: int, strength: float, *,
+                      row_align: int = 8) -> WarpTables:
     """Precompute window origins, displacements and masked weights.
 
     Requires h % 8 == 0 and w % 128 == 0 (callers pad; standard video
     sizes 640/1280/1920 x 480/720/1080 already conform).
+
+    row_align: alignment of the per-tile DMA row origin. 8 suffices for
+    f32 windows ((8, 128) memory tiling); the bf16 int-domain path uses
+    16 so window copies start on a (16, 128) bf16 tile boundary.
     """
     if h % TY or w % TX:
         raise ValueError(f"warp kernel needs H%{TY}==0 and W%{TX}==0, got {h}x{w}")
@@ -146,13 +152,20 @@ def build_warp_tables(h: int, w: int, strength: float) -> WarpTables:
     ymin = np.where(has_y, ymin, tsy)
     ymax = np.where(has_y, ymax, tsy)
 
-    # DMA origins must sit on the (8, 128) memory-tiling grid.
+    # DMA origins must sit on the memory-tiling grid (8 rows for f32
+    # windows, 16 for bf16). Row count byp is chosen so that h - byp is
+    # ALSO on the grid: every clipped origin (by_al, 0, or h - byp) then
+    # stays aligned, and a bottom-clipped window ends exactly at h, which
+    # keeps [ymin, ymax] covered.
+    ra = int(row_align)
     wx_al = (xmin // TX) * TX
-    by_al = (ymin // 8) * 8
+    by_al = (ymin // ra) * ra
     wxp = min(_round_up(int((xmax - wx_al).max()) + 1, TX), _round_up(w, TX))
-    byp = min(_round_up(int((ymax - by_al).max()) + 1, 8), _round_up(h, 8))
+    need = int((ymax - by_al).max()) + 1
+    byp = min(need + ((h - need) % ra), h)
     wx_org = np.clip(wx_al, 0, w - wxp).astype(np.int64)
     by_org = np.clip(by_al, 0, h - byp).astype(np.int64)
+    assert (h - byp) % ra == 0 and int(by_org.min()) >= 0
 
     # Horizontal displacements relative to each output column j: the
     # per-tile span is the map's derivative across the tile. Taps can
@@ -194,17 +207,26 @@ def build_warp_tables(h: int, w: int, strength: float) -> WarpTables:
         dxl=dxl, dxr=dxr, ylrel=ylrel, yrrel=yrrel,
         wx0=wx0, wx1=wx1, wy0=wy0, wy1=wy1,
         split=(d <= HTX and wxpf >= HTX + 128),
+        row_align=ra,
     )
 
 
-def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True,
-                     split: bool = False):
+def build_warp_masks(dxl, dxr, wx0, wx1, ylrel=None, yrrel=None,
+                     wy0=None, wy1=None, *, wxd: int, byp: int = 0,
+                     exact: bool = True, split: bool = False):
     """One-hot bilinear x-weight masks per (tile, tile-row), as the
-    hi/lo bf16 pair the kernel's 3-pass split consumes directly.
+    hi/lo bf16 pair the kernel's 3-pass split consumes directly — plus,
+    when the y tables are given, the combined one-hot y-weight mask
+    `my` (f32): my[t, b, (r, j)] = wy0[r,j]*[b == ylrel] +
+    wy1[r,j]*[b == yrrel]. The kernel then resolves the vertical taps
+    as one multiply + sublane-reduce over the x-resolved band instead
+    of per-row iota-compares + selects (the two nonzero products per
+    output are identical either way, and every other term is an exact
+    zero, so the result is bit-identical to the two-select form).
 
-    Returns (m_hi, m_lo) — or just (m_hi,) when exact=False (the
-    single-pass "fast" precision mode, which also halves mask HBM and
-    per-tile DMA). Shapes:
+    Returns (m_hi[, m_lo][, my]) — m_lo only when exact=True (the
+    single-pass "fast" precision mode halves mask HBM and per-tile
+    DMA). x-mask shapes:
 
       split=False: (yt*xt, WXD, TY*TX) — one (3*BYP, WXD) @ (WXD,
         TY*TX) matmul per pass, K padded to 256 lanes by Mosaic.
@@ -221,6 +243,33 @@ def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True,
     """
     h, w = dxl.shape
     yt, xt = h // TY, w // TX
+
+    my = ()
+    if ylrel is not None:
+        assert byp > 0
+
+        def tiley(a):  # (H, W) -> (nt, 1, TY, TX)
+            return (
+                jnp.asarray(a)
+                .reshape(yt, TY, xt, TX)
+                .transpose(0, 2, 1, 3)
+                .reshape(yt * xt, 1, TY, TX)
+            )
+
+        bio = jnp.arange(byp, dtype=jnp.int32)[None, :, None, None]
+        myf = (
+            tiley(wy0) * (bio == tiley(ylrel)).astype(jnp.float32)
+            + tiley(wy1) * (bio == tiley(yrrel)).astype(jnp.float32)
+        )  # (nt, byp, TY, TX) f32
+        if split:
+            myf = (
+                myf.reshape(-1, byp, TY, 2, HTX)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(-1, byp, 2, TY * HTX)
+            )
+        else:
+            myf = myf.reshape(-1, byp, TY * TX)
+        my = (myf,)
 
     if split:
         # (H, W) -> (nt, 2, TY, 1, HTX): half-tiles as a leading axis
@@ -241,9 +290,9 @@ def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True,
         mx = mx.transpose(0, 1, 3, 2, 4).reshape(-1, 2, 128, TY * HTX)
         m_hi = mx.astype(jnp.bfloat16)
         if not exact:
-            return (m_hi,)
+            return (m_hi,) + my
         m_lo = (mx - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return m_hi, m_lo
+        return (m_hi, m_lo) + my
 
     def tile(a):  # (H, W) -> (nt, TY, 1, TX)
         return (
@@ -265,49 +314,65 @@ def build_warp_masks(dxl, dxr, wx0, wx1, *, wxd: int, exact: bool = True,
     mx = mx.transpose(0, 2, 1, 3).reshape(mx.shape[0], wxd, TY * TX)
     m_hi = mx.astype(jnp.bfloat16)
     if not exact:
-        return (m_hi,)
+        return (m_hi,) + my
     m_lo = (mx - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return m_hi, m_lo
+    return (m_hi, m_lo) + my
 
 
 def _warp_kernel(
     by_ref, wx_ref, off_ref,  # scalar prefetch (yt, xt) int32
-    img_ref,  # (B, 3, H, W) f32, ANY (manual DMA)
+    img_ref,  # (B, 3, H, W) f32 (unit domain) or bf16 (int domain), ANY
     *refs,  # (1, WXD, TY*TX) mask blocks (1 or 2), y tables, out, scratch
     byp: int, wxp: int, d: int, wxd: int, pad: int, exact: bool,
-    split: bool,
+    split: bool, row_align: int = 8, int_domain: bool = False,
+    interpret: bool = False, debug: str = "", fpp: int = 1,
 ):
     if exact:
-        mhi_ref, mlo_ref, yl_ref, yr_ref, wy0_ref, wy1_ref, out_ref, win_ref, sem = refs
+        mhi_ref, mlo_ref, my_ref, out_ref, win_ref, sem = refs
     else:
-        mhi_ref, yl_ref, yr_ref, wy0_ref, wy1_ref, out_ref, win_ref, sem = refs
+        mhi_ref, my_ref, out_ref, win_ref, sem = refs
         mlo_ref = None
     i = pl.program_id(0)
     j = pl.program_id(1)
-    b = pl.program_id(2)
+    b = pl.program_id(2)  # frame GROUP of fpp frames
     xt = pl.num_programs(1)
     nb = pl.num_programs(2)
     # Batch innermost: per-tile blocks (masks, y tables) are fetched once
-    # per tile and reused across all NB batch frames by the pipeline.
+    # per tile and reused across all NB frame groups by the pipeline.
+    # fpp frames per program: the kernel measured DMA-LATENCY bound at
+    # one frame per program (~0.7 us of work per program vs one strided
+    # window DMA's latency; dma-only == full time) — batching frames
+    # amortizes the per-program overhead and fills the MXU's M dim
+    # (fpp*3*byp = 384 at fpp=4, byp=32: three full 128-row passes).
     t = (i * xt + j) * nb + b
     n_t = pl.num_programs(0) * xt * nb
-    slot = jax.lax.rem(t, 2)
-    nslot = jax.lax.rem(t + 1, 2)
+    # 3-deep window prefetch on top of that, for the latency tail.
+    nbuf = 3
+    slot = jax.lax.rem(t, nbuf)
+
+    if debug == "noop":  # timing probe: per-program overhead floor
+        for f_ in range(fpp):
+            for c_ in range(3):
+                out_ref[f_, c_] = jnp.zeros((TY, TX), jnp.float32)
+        return
 
     def start_window_dma(tt, sl):
         bb = jax.lax.rem(tt, nb)
         jj = jax.lax.rem(tt // nb, xt)
         ii = tt // (nb * xt)
-        by = pl.multiple_of(by_ref[ii, jj], 8)
+        by = pl.multiple_of(by_ref[ii, jj], row_align)
         wx = pl.multiple_of(wx_ref[ii, jj], TX)
-        for c in range(3):
-            pltpu.make_async_copy(
-                img_ref.at[bb, c, pl.ds(by, byp), pl.ds(wx, wxp)],
-                win_ref.at[sl, c, :, pl.ds(pad, wxp)],
-                sem.at[sl],
-            ).start()
+        # ONE 4-D copy for the whole frame group: the kernel is DMA-
+        # bound, so descriptor count matters more than anything the MXU
+        # does.
+        pltpu.make_async_copy(
+            img_ref.at[pl.ds(bb * fpp, fpp), :, pl.ds(by, byp), pl.ds(wx, wxp)],
+            win_ref.at[sl, :, :, :, pl.ds(pad, wxp)],
+            sem.at[sl],
+        ).start()
 
-    # Cross-program double buffering: program t-1 prefetched our window.
+    # Cross-program buffering: programs t-1..t-(nbuf-1) prefetched our
+    # window; each program tops the pipeline back up with t+nbuf-1.
     @pl.when(t == 0)
     def _():
         # Zero the scratch once: columns outside the DMA region (left
@@ -315,32 +380,65 @@ def _warp_kernel(
         # would poison the masked sums even under zero weights.
         win_ref[...] = jnp.zeros_like(win_ref)
         start_window_dma(t, slot)
+        for ahead in range(1, nbuf - 1):
+            @pl.when(t + ahead < n_t)
+            def _(ahead=ahead):
+                start_window_dma(t + ahead, jax.lax.rem(t + ahead, nbuf))
 
-    @pl.when(t + 1 < n_t)
+    @pl.when(t + nbuf - 1 < n_t)
     def _():
-        start_window_dma(t + 1, nslot)
+        start_window_dma(t + nbuf - 1, jax.lax.rem(t + nbuf - 1, nbuf))
 
-    for c in range(3):
-        pltpu.make_async_copy(
-            img_ref.at[0, 0, pl.ds(0, byp), pl.ds(0, wxp)],  # shape-only
-            win_ref.at[slot, c, :, pl.ds(pad, wxp)],
-            sem.at[slot],
-        ).wait()
+    pltpu.make_async_copy(
+        img_ref.at[pl.ds(0, fpp), :, pl.ds(0, byp), pl.ds(0, wxp)],  # shape-only
+        win_ref.at[slot, :, :, :, pl.ds(pad, wxp)],
+        sem.at[slot],
+    ).wait()
 
     # De-offset the window once so displacements live in [0, D).
     # VMEM lane reads must be 128-aligned, so rotate dynamically and
     # take an aligned static slice: rolled[k] = full[(k + off) mod WXPF].
     off = off_ref[i, j]
-    full = win_ref[slot]  # (3, BYP, WXPF)
+    full = win_ref[slot]  # (FPP, 3, BYP, WXPF)
     wxpf = full.shape[-1]
-    rolled = pltpu.roll(full, wxpf - off, axis=2)
+    if debug == "dma":  # timing probe: DMA + store only (WRONG output)
+        for f_ in range(fpp):
+            for c_ in range(3):
+                out_ref[f_, c_] = win_ref[slot, f_, c_, :TY, :TX].astype(jnp.float32)
+        return
+    if int_domain and not interpret:
+        # Mosaic has no 16-bit dynamic rotate. Bitcast the bf16 window
+        # to i32: packing pairs SUBLANES (rows 2i, 2i+1 -> i32 row i),
+        # so lanes map 1:1 and a 32-bit lane rotate rotates the bf16
+        # lanes exactly (byp is even by construction: byp = h mod 16).
+        packed = pltpu.bitcast(full, jnp.int32)
+        rolled = pltpu.bitcast(
+            pltpu.roll(packed, wxpf - off, axis=3), jnp.bfloat16
+        )
+    else:
+        rolled = pltpu.roll(full, wxpf - off, axis=3)
 
     def matmul3(wv, mh, ml):
-        """Hand-rolled 3-pass bf16 split (Mosaic lacks Precision.HIGH):
-        dropping only the lo*lo product term bounds the relative error
-        at ~2^-18 — ~260x below the uint8 LSB budget (verified on-chip).
-        Fast mode (exact=False): one bf16 pass, ~2^-8 relative — a
-        documented deviation from the exact contract."""
+        """Hand-rolled bf16 split (Mosaic lacks Precision.HIGHEST).
+
+        Unit domain (f32 values in [0,1]): 3 passes — dropping only the
+        lo*lo product term bounds the relative error at ~2^-18, ~260x
+        below the uint8 LSB budget (verified on-chip).
+
+        Int domain (bf16 values on the integer grid [0, 255] — EXACTLY
+        representable in bf16's 8 significand bits): the value lo limb is
+        identically zero, so exact mode needs only 2 passes (v@m_hi +
+        v@m_lo); the remaining error is the mask split's ~2^-17.
+
+        Fast mode (exact=False): one bf16 pass — ~2^-8 relative in unit
+        domain (the documented --precision fast deviation), ~2^-9 of
+        full scale in int domain (mask rounding only; values are exact).
+        """
+        if int_domain:
+            acc = jnp.dot(wv, mh, preferred_element_type=jnp.float32)
+            if exact:
+                acc = acc + jnp.dot(wv, ml, preferred_element_type=jnp.float32)
+            return acc
         v_hi = wv.astype(jnp.bfloat16)
         acc = jnp.dot(v_hi, mh, preferred_element_type=jnp.float32)
         if exact:
@@ -349,42 +447,38 @@ def _warp_kernel(
             acc = acc + jnp.dot(v_lo, mh, preferred_element_type=jnp.float32)
         return acc
 
-    dio3 = jax.lax.broadcasted_iota(jnp.int32, (3 * byp, TX), 0)
-    dmod = jax.lax.rem(dio3, byp)  # per-channel band row ids
-
-    def y_select(cband3, r, j0, n):
-        """Resolve the vertical taps for output row r, columns
-        [j0, j0+n): iota-compare band select + weighted sum."""
-        m0 = dmod[:, :n] == yl_ref[r, j0:j0 + n][None, :]
-        m1 = dmod[:, :n] == yr_ref[r, j0:j0 + n][None, :]
-        s0 = jnp.sum(jnp.where(m0, cband3, 0.0).reshape(3, byp, n), axis=1)
-        s1 = jnp.sum(jnp.where(m1, cband3, 0.0).reshape(3, byp, n), axis=1)
-        return wy0_ref[r, j0:j0 + n] * s0 + wy1_ref[r, j0:j0 + n] * s1
-
+    # Vertical taps resolve as ONE multiply + sublane reduction against
+    # the precomputed combined y-weight mask (wy0 at ylrel + wy1 at
+    # yrrel, exact zeros elsewhere) — bit-identical to the two-select
+    # form but ~3x fewer VPU ops than per-row iota-compares.
     if split:
-        # Channels fold into M; per half-tile the contraction is a
-        # single 128-lane window slice (K=128, no Mosaic K-pad — half
-        # the MACs of the K=WXD->256 path).
+        # Frames and channels fold into M; per half-tile the contraction
+        # is a single 128-lane window slice (K=128, no Mosaic K-pad —
+        # half the MACs of the K=WXD->256 path).
         for hf in range(2):
-            wv = rolled[:, :, hf * HTX:hf * HTX + 128].reshape(3 * byp, 128)
+            wv = rolled[:, :, :, hf * HTX:hf * HTX + 128].reshape(
+                fpp * 3 * byp, 128)
             mh = mhi_ref[0, hf]  # (128, TY*HTX)
             ml = mlo_ref[0, hf] if exact else None
-            acc = matmul3(wv, mh, ml)
-            for r in range(TY):
-                cband3 = acc[:, r * HTX:(r + 1) * HTX]
-                out_ref[0, :, r, hf * HTX:(hf + 1) * HTX] = y_select(
-                    cband3, r, hf * HTX, HTX
-                )
+            acc = matmul3(wv, mh, ml).reshape(fpp, 3, byp, TY * HTX)
+            res = jnp.sum(acc * my_ref[0, :, hf][None, None], axis=2)
+            for f in range(fpp):
+                for r in range(TY):  # row stores, no relayout
+                    out_ref[f, :, r, hf * HTX:(hf + 1) * HTX] = (
+                        res[f, :, r * HTX:(r + 1) * HTX]
+                    )
     else:
-        # Channels fold into the matmul's M dimension: (3*BYP, WXD) @
-        # (WXD, TY*TX) resolves the x-taps for the whole band in ONE MXU
-        # op per pass.
-        win2 = rolled[:, :, :wxd].reshape(3 * byp, wxd)
+        # Frames and channels fold into the matmul's M dimension:
+        # (FPP*3*BYP, WXD) @ (WXD, TY*TX) resolves the x-taps for the
+        # whole band in ONE MXU op per pass.
+        win2 = rolled[:, :, :, :wxd].reshape(fpp * 3 * byp, wxd)
         m_hi = mhi_ref[0]  # (WXD, TY*TX): all 8 row-masks side by side
-        cband_all = matmul3(win2, m_hi, mlo_ref[0] if exact else None)
-        for r in range(TY):
-            cband3 = cband_all[:, r * TX:(r + 1) * TX]
-            out_ref[0, :, r, :] = y_select(cband3, r, 0, TX)
+        acc = matmul3(win2, m_hi, mlo_ref[0] if exact else None)
+        res = jnp.sum(acc.reshape(fpp, 3, byp, TY * TX) * my_ref[0][None, None],
+                      axis=2)
+        for f in range(fpp):
+            for r in range(TY):  # row stores, no relayout
+                out_ref[f, :, r, :] = res[f, :, r * TX:(r + 1) * TX]
 
 
 def warp_planar(
@@ -393,9 +487,16 @@ def warp_planar(
     masks=None,
     interpret: bool = False,
     exact: bool = True,
+    int_domain: bool = False,
+    debug: str = "",
 ) -> jax.Array:
-    """(B, 3, H, W) f32 -> (B, 3, H, W) f32 barrel-warped. (Not jitted
+    """(B, 3, H, W) barrel-warped -> (B, 3, H, W) f32. (Not jitted
     itself — callers trace it inside the engine's jitted step.)
+
+    int_domain: input is bf16 on the integer grid [0, 255] (exact in
+    bf16) and the output is f32 in the same [0, 255] domain; window DMA
+    and the VMEM scratch halve, and exact mode needs 2 matmul passes
+    instead of 3 (see matmul3). Unit domain: f32 in [0, 1] both ways.
 
     masks: the (m_hi, m_lo) pair from build_warp_masks. The engine
     builds them ONCE per config and passes them as jit arguments (they
@@ -405,35 +506,52 @@ def warp_planar(
     b = imgs.shape[0]
     t = tables
     yt, xt = t.grid
+    if int_domain:
+        if imgs.dtype != jnp.bfloat16:
+            raise ValueError(f"int_domain expects bf16 input, got {imgs.dtype}")
+        if t.byp % 2:
+            raise ValueError("int_domain needs an even window row count "
+                             "(the de-offset roll runs on i32-paired rows)")
     if masks is None:
-        masks = build_warp_masks(t.dxl, t.dxr, t.wx0, t.wx1, wxd=t.wxd,
+        masks = build_warp_masks(t.dxl, t.dxr, t.wx0, t.wx1,
+                                 t.ylrel, t.yrrel, t.wy0, t.wy1,
+                                 wxd=t.wxd, byp=t.byp,
                                  exact=exact, split=t.split)
-    if len(masks) != (2 if exact else 1):
-        raise ValueError(f"expected {2 if exact else 1} mask arrays, got {len(masks)}")
+    if len(masks) != (3 if exact else 2):
+        raise ValueError(f"expected {3 if exact else 2} mask arrays, got {len(masks)}")
     # index maps receive (grid indices..., *scalar_prefetch_refs)
-    tile = lambda i, j, bb, *_: (i, j)  # noqa: E731
     if t.split:
         mspec = pl.BlockSpec((1, 2, 128, TY * HTX),
                              lambda i, j, bb, *_: (i * xt + j, 0, 0, 0))
+        myspec = pl.BlockSpec((1, t.byp, 2, TY * HTX),
+                              lambda i, j, bb, *_: (i * xt + j, 0, 0, 0))
     else:
         mspec = pl.BlockSpec((1, t.wxd, TY * TX),
                              lambda i, j, bb, *_: (i * xt + j, 0, 0))
+        myspec = pl.BlockSpec((1, t.byp, TY * TX),
+                              lambda i, j, bb, *_: (i * xt + j, 0, 0))
 
+    # frames per program: amortizes per-program DMA latency and fills
+    # the MXU M dim (measured DMA/overhead-bound at fpp=1)
+    fpp = next(f for f in (8, 4, 2, 1) if b % f == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(yt, xt, b),
+        grid=(yt, xt, b // fpp),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # img
-        + [mspec] * len(masks)
-        + [pl.BlockSpec((TY, TX), tile)] * 4,  # yl yr wy0 wy1
-        out_specs=pl.BlockSpec((1, 3, TY, TX), lambda i, j, bb, *_: (bb, 0, i, j)),
+        + [mspec] * (len(masks) - 1)
+        + [myspec],
+        out_specs=pl.BlockSpec((fpp, 3, TY, TX),
+                               lambda i, j, bb, *_: (bb, 0, i, j)),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, t.byp, t.wxpf), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, fpp, 3, t.byp, t.wxpf),
+                       jnp.bfloat16 if int_domain else jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     kern = functools.partial(
         _warp_kernel, byp=t.byp, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad,
-        exact=exact, split=t.split,
+        exact=exact, split=t.split, row_align=t.row_align,
+        int_domain=int_domain, interpret=interpret, debug=debug, fpp=fpp,
     )
     return pl.pallas_call(
         kern,
@@ -443,8 +561,6 @@ def warp_planar(
     )(
         jnp.asarray(t.by), jnp.asarray(t.wx), jnp.asarray(t.off), imgs,
         *masks,
-        jnp.asarray(t.ylrel), jnp.asarray(t.yrrel),
-        jnp.asarray(t.wy0), jnp.asarray(t.wy1),
     )
 
 
@@ -454,8 +570,33 @@ def warp_nhwc(
     masks=None,
     interpret: bool = False,
     exact: bool = True,
+    int_domain: bool = False,
+    emit_scaled: bool = False,
 ) -> jax.Array:
-    """(B, H, W, 3) f32 -> warped, via the planar kernel."""
-    planar = jnp.transpose(imgs, (0, 3, 1, 2))
-    out = warp_planar(planar, tables, masks, interpret, exact)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    """(B, H, W, 3) f32 in [0, 1] -> warped f32, via the planar kernel.
+
+    int_domain: round values to the uint8 grid and warp them as bf16
+    integers in [0, 255] (exact in bf16 — see warp_planar). The final
+    uint8 output changes by at most 1 LSB: pre-rounding moves each tap
+    by <= 0.5/255 and the bilinear weights sum to <= 1, so the warped
+    value moves by <= 0.5/255 before the output rint. Inputs already on
+    the uint8 grid (e.g. warp as the first effect) are unchanged, so
+    this path is then strictly MORE exact than the unit-domain split.
+
+    emit_scaled (int_domain only): skip the /255 normalization and
+    return f32 in [0, 255] — for configs where warp is the last stage
+    before the uint8 cast, whose rint then fuses directly on this.
+    """
+    if not int_domain:
+        if emit_scaled:
+            raise ValueError("emit_scaled requires int_domain")
+        planar = jnp.transpose(imgs, (0, 3, 1, 2))
+        out = warp_planar(planar, tables, masks, interpret, exact)
+        return jnp.transpose(out, (0, 2, 3, 1))
+    ints = jnp.rint(imgs * np.float32(255.0)).astype(jnp.bfloat16)
+    planar = jnp.transpose(ints, (0, 3, 1, 2))
+    out = warp_planar(planar, tables, masks, interpret, exact, int_domain=True)
+    out = jnp.transpose(out, (0, 2, 3, 1))
+    if emit_scaled:
+        return out
+    return out * np.float32(1.0 / 255.0)

@@ -32,15 +32,19 @@ def remap_nearest(img: jnp.ndarray, y_map: jnp.ndarray, x_map: jnp.ndarray) -> j
 
 
 def roll_gather_shifts(index_map) -> "list | None":
-    """If the 1-D gather index map reads only a few positions behind
-    (map[c] = c - s, s >= 0, small distinct shift count), return the
-    sorted distinct shifts; else None. Pixelate's composed nearest maps
-    always qualify (each output reads the head pixel of its block)."""
+    """If the 1-D gather index map reads only nearby positions under
+    cyclic wrap (map[c] = (c - s) mod n with few distinct small |s|),
+    return the distinct signed shifts; else None. Pixelate's composed
+    nearest maps always qualify (each output reads the head pixel of
+    its block); composing the wrap-around aberration roll into them
+    adds a +-px offset, hence the signed canonical representative."""
     import numpy as np
 
     m = np.asarray(index_map)
-    s = np.arange(m.shape[0]) - m
-    if s.min() < 0 or s.max() > 16 or len(np.unique(s)) > 16:
+    n = m.shape[0]
+    s = (np.arange(n) - m) % n
+    s = np.where(s > n // 2, s - n, s)  # smallest-|s| representative
+    if np.abs(s).max() > 32 or len(np.unique(s)) > 24:
         return None
     return [int(v) for v in np.unique(s) if v != 0]
 
@@ -62,14 +66,16 @@ def remap_nearest_rolls(img: jnp.ndarray, y_map, x_map,
         if not shifts:
             continue
         n = img.shape[axis]
-        shift = jnp.arange(n, dtype=jnp.int32) - m.astype(jnp.int32)
+        # compare in the mod-n domain so signed canonical shifts (from
+        # composed wrap-around rolls) match: roll(v, s) == roll(v, s % n)
+        shift = (jnp.arange(n, dtype=jnp.int32) - m.astype(jnp.int32)) % n
         shape = [1] * img.ndim
         shape[axis] = n
         shift = shift.reshape(shape)
         base = out
         res = base
         for s in shifts:
-            res = jnp.where(shift == s, jnp.roll(base, s, axis=axis), res)
+            res = jnp.where(shift == s % n, jnp.roll(base, s, axis=axis), res)
         out = res
     return out
 

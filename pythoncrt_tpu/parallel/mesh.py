@@ -70,7 +70,9 @@ class ShardedCRTEngine:
             """Runs per shard. state/first/consts replicated; frames/aux sharded."""
             imgs = eng._batch_effects(frames_u8, aux, c)
             if not persist:
-                return ocolor.to_uint8(imgs), imgs[-1]
+                # _finish owns the uint8 cast (including the scaled
+                # [0, 255] domain the fused warp epilogue emits).
+                return eng._finish(imgs, state, first_arr)
 
             my = jax.lax.axis_index(axis)
             n_local = imgs.shape[0]

@@ -54,9 +54,10 @@ def test_warp_kernel_fast_mode_tolerance(rng):
     tables = kwarp.build_warp_tables(H, W, 0.3)
     masks = kwarp.build_warp_masks(
         tables.dxl, tables.dxr, tables.wx0, tables.wx1,
-        wxd=tables.wxd, exact=False, split=tables.split,
+        tables.ylrel, tables.yrrel, tables.wy0, tables.wy1,
+        wxd=tables.wxd, byp=tables.byp, exact=False, split=tables.split,
     )
-    assert len(masks) == 1
+    assert len(masks) == 2  # m_hi + the combined y-weight mask
     got = np.asarray(kwarp.warp_nhwc(imgs, tables, masks, True, False))
     map_x, map_y = oracle.barrel_warp_maps(H, W, 0.3)
     for b in range(2):
@@ -64,6 +65,58 @@ def test_warp_kernel_fast_mode_tolerance(rng):
         err = np.abs(got[b] - want).max()
         assert err < 2e-2, f"fast-mode err={err}"
         assert err > 0  # it IS the approximate path
+
+
+@pytest.mark.parametrize("strength", [0.15, 0.5, -0.5])
+def test_warp_kernel_int_domain(strength, rng):
+    """bf16 int-domain path (values on the uint8 grid, 2-pass exact):
+    for inputs already on the grid the pre-rounding is lossless, so the
+    final uint8 must match the oracle's to within the mask-split noise
+    (~255 * 2^-17 ~ 0.002 -> byte-exact except at exact .5 ties)."""
+    frames = rng.integers(0, 256, (2, H, W, 3), dtype=np.uint8)
+    imgs = frames.astype(np.float32) / 255.0
+    tables = kwarp.build_warp_tables(H, W, strength, row_align=16)
+    assert tables.row_align == 16 and (H - tables.byp) % 16 == 0
+    got = np.asarray(
+        kwarp.warp_nhwc(imgs, tables, interpret=True, int_domain=True)
+    )
+    map_x, map_y = oracle.barrel_warp_maps(H, W, strength)
+    for b in range(2):
+        want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        got_u8 = np.clip(np.rint(got[b] * 255.0), 0, 255).astype(np.int32)
+        want_u8 = oracle.ops.to_uint8(want).astype(np.int32)
+        assert np.abs(got_u8 - want_u8).max() <= 1
+
+
+def test_warp_kernel_int_domain_emit_scaled(rng):
+    """emit_scaled returns the [0, 255] domain directly: rint equals the
+    normalized path's uint8 cast."""
+    frames = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
+    imgs = frames.astype(np.float32) / 255.0
+    tables = kwarp.build_warp_tables(H, W, 0.2, row_align=16)
+    a = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True,
+                                   int_domain=True, emit_scaled=True))
+    b = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True,
+                                   int_domain=True))
+    np.testing.assert_array_equal(
+        np.clip(np.rint(a), 0, 255).astype(np.uint8),
+        np.clip(np.rint(b * 255.0), 0, 255).astype(np.uint8),
+    )
+
+
+def test_warp_int_domain_off_grid_lsb_bound(rng):
+    """Mid-chain (off-grid) values: pre-rounding moves each tap <=
+    0.5/255 and bilinear weights sum to <= 1 => final uint8 within
+    1 LSB of the unit-domain result."""
+    imgs = rng.random((1, H, W, 3), dtype=np.float32)
+    tables16 = kwarp.build_warp_tables(H, W, 0.3, row_align=16)
+    got = np.asarray(kwarp.warp_nhwc(imgs, tables16, interpret=True,
+                                     int_domain=True))
+    map_x, map_y = oracle.barrel_warp_maps(H, W, 0.3)
+    want = oracle.ops.remap_bilinear_const0(imgs[0], map_x, map_y)
+    g = np.clip(np.rint(got[0] * 255.0), 0, 255).astype(np.int32)
+    wv = oracle.ops.to_uint8(want).astype(np.int32)
+    assert np.abs(g - wv).max() <= 1
 
 
 def test_warp_tables_reject_bad_shapes():
@@ -78,6 +131,53 @@ def test_warp_zero_strength_identityish(rng):
     tables = kwarp.build_warp_tables(H, W, 0.0)
     got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
     np.testing.assert_allclose(got[0], imgs[0], atol=2e-5)
+
+
+class TestBloom2Kernel:
+    @pytest.mark.parametrize("sigma,thr", [(1.2, 0.0), (2.0, 0.4), (0.5, 0.0)])
+    def test_gaussian_matches_oracle(self, rng, sigma, thr):
+        from pythoncrt_tpu.kernels import bloom2 as kb2
+
+        B, strength = 2, 0.3
+        imgs = rng.random((B, H, W, 3), dtype=np.float32)
+        spec = kb2.build_bloom2_spec(H, W, variant="gaussian", sigma=sigma,
+                                     strength=strength, threshold=thr)
+        got = np.asarray(kb2.bloom2_nhwc(imgs, spec, interpret=True))
+        k = max(1, int(round(sigma * 3)) * 2 + 1)
+        for b in range(B):
+            src = imgs[b]
+            if thr > 0:
+                t = np.float32(min(0.99, max(0.0, thr)))
+                src = np.clip((imgs[b] - t) / max(1e-6, 1.0 - float(t)), 0, 1)
+            blur = oracle.ops.gaussian_blur_replicate(src, k, k, sigma, sigma)
+            want = np.clip(imgs[b] + np.float32(strength) * blur, 0, 1)
+            err = np.abs(got[b] - want).max()
+            # composed border folds + MXU-order accumulation: ~1e-6,
+            # three orders under the 1-LSB budget (see module docstring)
+            assert err < 1e-5, f"sigma={sigma} thr={thr} err={err}"
+
+    def test_fast_matches_oracle(self, rng):
+        from pythoncrt_tpu.kernels import bloom2 as kb2
+
+        imgs = rng.random((2, H, W, 3), dtype=np.float32)
+        spec = kb2.build_bloom2_spec(H, W, variant="fast", strength=0.4,
+                                     threshold=0.2)
+        got = np.asarray(kb2.bloom2_nhwc(imgs, spec, interpret=True))
+        for b in range(2):
+            src = np.clip((imgs[b] - np.float32(0.2)) / np.float32(0.8), 0, 1)
+            ds = oracle.ops.resize_bilinear(src, H // 2, W // 2)
+            blur = oracle.ops.resize_bilinear(ds, H, W)
+            want = np.clip(imgs[b] + np.float32(0.4) * blur, 0, 1)
+            err = np.abs(got[b] - want).max()
+            assert err < 1e-5, f"fast err={err}"
+
+    def test_rejects_bad_shapes(self):
+        from pythoncrt_tpu.kernels import bloom2 as kb2
+
+        with pytest.raises(ValueError):
+            kb2.build_bloom2_spec(30, 256, variant="gaussian", sigma=1.0)
+        with pytest.raises(ValueError):
+            kb2.build_bloom2_spec(32, 200, variant="fast")
 
 
 class TestGlitchKernel:
