@@ -52,7 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..oracle.ops import bilinear_taps, gaussian_kernel_1d
 
-KW = 384  # lane window per column tile (center 128 + 128 halo each side)
+KW = 256  # lane window per column tile (center 128 + right halo; the
+#           left reach is absorbed by a lane PRE-PAD so window origins
+#           stay 128-aligned at the tile start — K=256 instead of a
+#           three-tile 384 window: 1/3 less DMA and matmul)
 TXL = 128  # output lanes per program
 
 
@@ -114,23 +117,25 @@ def _band(m: np.ndarray):
     return d0, d1, wts
 
 
-def _lane_masks(hm: np.ndarray, w: int) -> np.ndarray:
+def _lane_masks(hm: np.ndarray, w: int, lpad: int) -> np.ndarray:
     """Per-column-tile banded masks over interleaved NHWC lanes.
 
-    mask[j, k, n] = hm[x0, x'] where out lane 128j+n = 3*x0 + c and
-    window lane k = 3*x' + c - base(j). K=384 windows at base(j) =
-    clip(128(j-1), 0, W3-384) cover every row's band (|d| <= 42 px)."""
+    The image is pre-padded with lpad dead lanes on the LEFT, so every
+    tap of out lane l0 = 128j+n (= pixel 3x0+c) sits at padded lane
+    3x' + c + lpad >= l0, and the K=256 window starting AT the tile
+    origin 128j covers the whole band: mask[j, k, n] = hm[x0, x'] with
+    k = 3x' + c + lpad - 128j."""
     w3 = 3 * w
     ntw = w3 // TXL
     masks = np.zeros((ntw, KW, TXL), np.float32)
     for j in range(ntw):
-        base = min(max(TXL * (j - 1), 0), w3 - KW)
-        l0 = TXL * j + np.arange(TXL)
+        base = TXL * j
+        l0 = base + np.arange(TXL)
         x0, c = l0 // 3, l0 % 3
         for n in range(TXL):
             row = hm[x0[n]]
             nz = np.nonzero(row)[0]
-            k = 3 * nz + c[n] - base
+            k = 3 * nz + c[n] + lpad - base
             assert k.min() >= 0 and k.max() < KW, (j, n, k.min(), k.max())
             masks[j, k, n] = row[nz]
     return masks
@@ -147,6 +152,7 @@ class Bloom2Spec:
     sy: int  # window rows = ty + nd - 1 (top/bottom pad makes it valid)
     d0: int  # vertical band offsets (d0 <= 0 <= d1 in practice)
     d1: int
+    lpad: int  # left lane pre-pad absorbing the band's left reach
     masks: np.ndarray = field(repr=False)  # (ntw, KW, TXL) f32
     vwts: np.ndarray = field(repr=False)  # (nd, h) f32
 
@@ -163,17 +169,21 @@ def build_bloom2_spec(h: int, w: int, *, variant: str, sigma: float = 0.0,
         raise ValueError(f"unknown bloom variant {variant!r}")
     d0, d1, vwts = _band(vm)
     ty = _pick_ty(h)
-    # band must fit the 128-lane halo on each side of a column tile
     ys, xs = np.nonzero(hm)
-    if 3 * int(np.abs(xs - ys).max()) + 2 > TXL:
-        raise ValueError("horizontal band exceeds the 128-lane halo")
+    left_px = int(np.maximum(ys - xs, 0).max())
+    right_px = int(np.maximum(xs - ys, 0).max())
+    lpad = 3 * left_px
+    # the whole lane band (left reach absorbed by lpad) must fit the
+    # K=256 window's halo beyond the 128 output lanes
+    if lpad + 3 * right_px + 2 > KW - TXL:
+        raise ValueError("horizontal band exceeds the lane-window halo")
     return Bloom2Spec(
         h=h, w=w, variant=variant, strength=float(strength),
         threshold=float(min(0.99, max(0.0, threshold))),
         # window rows rounded to the 8-sublane DMA tiling; the extra
         # bottom rows are zero-padded and carry no vertical weights
         ty=ty, sy=_round_up(ty + (d1 - d0) + 1 - 1, 8), d0=d0, d1=d1,
-        masks=_lane_masks(hm, w), vwts=vwts,
+        lpad=lpad, masks=_lane_masks(hm, w, lpad), vwts=vwts,
     )
 
 
@@ -214,7 +224,10 @@ def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
         bb = jax.lax.rem(tt, n_b)
         ii = jax.lax.rem(tt // n_b, n_i)
         jj = tt // (n_b * n_i)
-        base = jnp.clip(TXL * (jj - 1), 0, w3 - KW)
+        # the lane pre-pad absorbed the band's left reach, so the
+        # window starts AT the tile origin (always in range: the
+        # wrapper right-pads to TXL*(ntw-1) + KW)
+        base = TXL * jj
         pltpu.make_async_copy(
             img_ref.at[pl.ds(bb * fpp, fpp), pl.ds(ii * ty, sy),
                        pl.ds(pl.multiple_of(base, TXL), KW)],
@@ -298,11 +311,16 @@ def bloom2_nhwc(imgs: jax.Array, spec: Bloom2Spec, consts=None,
     m_hi, m_lo, vw = consts
     flat = imgs.reshape(b, h, 3 * w)
     nd = spec.d1 - spec.d0 + 1
-    # zero rows outside the image carry exact-zero vertical weights;
-    # the bottom pad also covers the 8-row window alignment of sy
-    padded = jnp.pad(flat, ((0, 0), (-spec.d0, spec.sy - spec.ty + spec.d0), (0, 0)))
+    # zero rows outside the image carry exact-zero vertical weights
+    # (the bottom pad also covers the 8-row window alignment of sy);
+    # zero LANES on the left absorb the band's left reach so windows
+    # start at their tile origin (dead lanes have zero mask weight)
+    ntw = 3 * w // TXL
+    rpad = max(0, TXL * (ntw - 1) + KW - (3 * w + spec.lpad))
+    padded = jnp.pad(flat, ((0, 0), (-spec.d0, spec.sy - spec.ty + spec.d0),
+                            (spec.lpad, rpad)))
     # frames per program (see _bloom2_kernel)
-    fpp = next(f for f in (4, 2, 1) if b % f == 0)
+    fpp = next(f for f in (8, 4, 2, 1) if b % f == 0)
     grid = (3 * w // TXL, h // spec.ty, b // fpp)
     out = pl.pallas_call(
         functools.partial(_bloom2_kernel, spec=spec, interpret=interpret,

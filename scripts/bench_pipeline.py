@@ -88,14 +88,25 @@ def main():
     p = EffectParams(scanline_strength=0.6, vignette_strength=0.25,
                      triad_strength=0.0, aberration_px=0, bloom_strength=0.0,
                      noise_strength=0.0, persistence=0.0, pixel_size=1)
+    from pythoncrt_tpu import perf
+
     for name, (src, n, h, w) in clips.items():
         for workers in (1, 2):
+            # cold run compiles; the warm second run is the pipeline
+            process_video(src, f"{td}/out_{name}_{workers}.mp4", p,
+                          batch_size=16, decode_workers=workers, report=False)
+            perf.perf_reset()
             t0 = time.perf_counter()
             process_video(src, f"{td}/out_{name}_{workers}.mp4", p,
                           batch_size=16, decode_workers=workers, report=False)
             dt = time.perf_counter() - t0
+            tot = perf.snapshot()
+            dec = tot.get("io.decode", (0.0, 0))[0]
+            wait = tot.get("fx.device_wait", (0.0, 0))[0]
+            disp = tot.get("fx.dispatch", (0.0, 0))[0]
             print(f"  {name} c1-ish decode_workers={workers}: "
-                  f"{n / dt:6.1f} fps end-to-end", flush=True)
+                  f"{n / dt:6.1f} fps end-to-end (warm; decode {dec:.2f}s"
+                  f" vs device {disp + wait:.2f}s of {dt:.2f}s)", flush=True)
 
 
 if __name__ == "__main__":
