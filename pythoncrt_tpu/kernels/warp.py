@@ -320,32 +320,32 @@ def build_warp_masks(dxl, dxr, wx0, wx1, ylrel=None, yrrel=None,
 
 
 def _warp_kernel(
-    by_ref, wx_ref, off_ref,  # scalar prefetch (yt, xt) int32
+    by_ref, wx_ref, off_ref, ia_ref, ja_ref,  # scalar prefetch (ntc,) int32
     img_ref,  # (B, 3, H, W) f32 (unit domain) or bf16 (int domain), ANY
-    *refs,  # (1, WXD, TY*TX) mask blocks (1 or 2), y tables, out, scratch
+    *refs,  # [prev (aliased, unread)], x-mask blocks (1 or 2), my, out, scratch
     byp: int, wxp: int, d: int, wxd: int, pad: int, exact: bool,
     split: bool, row_align: int = 8, int_domain: bool = False,
     interpret: bool = False, debug: str = "", fpp: int = 1,
+    aliased: bool = False,
 ):
+    refs = refs[1:] if aliased else refs  # skip the pass-through input
     if exact:
         mhi_ref, mlo_ref, my_ref, out_ref, win_ref, sem = refs
     else:
         mhi_ref, my_ref, out_ref, win_ref, sem = refs
         mlo_ref = None
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    b = pl.program_id(2)  # frame GROUP of fpp frames
-    xt = pl.num_programs(1)
-    nb = pl.num_programs(2)
+    p = pl.program_id(0)  # position in this call's tile list
+    b = pl.program_id(1)  # frame GROUP of fpp frames
+    nb = pl.num_programs(1)
     # Batch innermost: per-tile blocks (masks, y tables) are fetched once
     # per tile and reused across all NB frame groups by the pipeline.
     # fpp frames per program: the kernel measured DMA-LATENCY bound at
     # one frame per program (~0.7 us of work per program vs one strided
     # window DMA's latency; dma-only == full time) — batching frames
     # amortizes the per-program overhead and fills the MXU's M dim
-    # (fpp*3*byp = 384 at fpp=4, byp=32: three full 128-row passes).
-    t = (i * xt + j) * nb + b
-    n_t = pl.num_programs(0) * xt * nb
+    # (fpp*3*byp = 768 at fpp=8, byp=32: six full 128-row passes).
+    t = p * nb + b
+    n_t = pl.num_programs(0) * nb
     # 3-deep window prefetch on top of that, for the latency tail.
     nbuf = 3
     slot = jax.lax.rem(t, nbuf)
@@ -358,10 +358,9 @@ def _warp_kernel(
 
     def start_window_dma(tt, sl):
         bb = jax.lax.rem(tt, nb)
-        jj = jax.lax.rem(tt // nb, xt)
-        ii = tt // (nb * xt)
-        by = pl.multiple_of(by_ref[ii, jj], row_align)
-        wx = pl.multiple_of(wx_ref[ii, jj], TX)
+        pp = tt // nb
+        by = pl.multiple_of(by_ref[pp], row_align)
+        wx = pl.multiple_of(wx_ref[pp], TX)
         # ONE 4-D copy for the whole frame group: the kernel is DMA-
         # bound, so descriptor count matters more than anything the MXU
         # does.
@@ -398,7 +397,7 @@ def _warp_kernel(
     # De-offset the window once so displacements live in [0, D).
     # VMEM lane reads must be 128-aligned, so rotate dynamically and
     # take an aligned static slice: rolled[k] = full[(k + off) mod WXPF].
-    off = off_ref[i, j]
+    off = off_ref[p]
     full = win_ref[slot]  # (FPP, 3, BYP, WXPF)
     wxpf = full.shape[-1]
     if debug == "dma":  # timing probe: DMA + store only (WRONG output)
@@ -519,49 +518,100 @@ def warp_planar(
                                  exact=exact, split=t.split)
     if len(masks) != (3 if exact else 2):
         raise ValueError(f"expected {3 if exact else 2} mask arrays, got {len(masks)}")
-    # index maps receive (grid indices..., *scalar_prefetch_refs)
-    if t.split:
-        mspec = pl.BlockSpec((1, 2, 128, TY * HTX),
-                             lambda i, j, bb, *_: (i * xt + j, 0, 0, 0))
-        myspec = pl.BlockSpec((1, t.byp, 2, TY * HTX),
-                              lambda i, j, bb, *_: (i * xt + j, 0, 0, 0))
+    # Tiles are partitioned into WINDOW-ROW CLASSES: ~2/3 of tiles need
+    # <= 16 window rows (the y-span is the map's local derivative), so
+    # they matmul/roll/DMA half the band. One pallas_call per class over
+    # a scattered 1-D tile list (scalar-prefetched coordinates drive the
+    # block index maps); the later call aliases the earlier call's
+    # output and writes only its own tiles. In-kernel predication and
+    # coarse @pl.when branches both measured SLOWER (ROADMAP.md) — class
+    # calls keep every program dense.
+    need = np.maximum(
+        t.ylrel.reshape(yt, TY, xt, TX).max(axis=(1, 3)),
+        t.yrrel.reshape(yt, TY, xt, TX).max(axis=(1, 3)),
+    ) + 1
+    classes = []
+    small = 16
+    if small < t.byp:
+        sel = need <= small
+        if sel.any():
+            classes.append((small, sel))
+        if (~sel).any():
+            classes.append((t.byp, ~sel))
     else:
-        mspec = pl.BlockSpec((1, t.wxd, TY * TX),
-                             lambda i, j, bb, *_: (i * xt + j, 0, 0))
-        myspec = pl.BlockSpec((1, t.byp, TY * TX),
-                              lambda i, j, bb, *_: (i * xt + j, 0, 0))
+        classes.append((t.byp, np.ones((yt, xt), bool)))
 
     # frames per program: amortizes per-program DMA latency and fills
     # the MXU M dim (measured DMA/overhead-bound at fpp=1)
     fpp = next(f for f in (8, 4, 2, 1) if b % f == 0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(yt, xt, b // fpp),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # img
-        + [mspec] * (len(masks) - 1)
-        + [myspec],
-        out_specs=pl.BlockSpec((fpp, 3, TY, TX),
-                               lambda i, j, bb, *_: (bb, 0, i, j)),
-        scratch_shapes=[
-            pltpu.VMEM((3, fpp, 3, t.byp, t.wxpf),
-                       jnp.bfloat16 if int_domain else jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-    kern = functools.partial(
-        _warp_kernel, byp=t.byp, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad,
-        exact=exact, split=t.split, row_align=t.row_align,
-        int_domain=int_domain, interpret=interpret, debug=debug, fpp=fpp,
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 3, t.h, t.w), jnp.float32),
-        interpret=interpret,
-    )(
-        jnp.asarray(t.by), jnp.asarray(t.wx), jnp.asarray(t.off), imgs,
-        *masks,
-    )
+    by2, wx2, off2 = t.by, t.wx, t.off
+    out = None
+    for byp_c, sel in classes:
+        ia, ja = np.nonzero(sel)
+        ntc = ia.shape[0]
+        tidx = (ia * xt + ja).astype(np.int32)
+        # index maps receive (grid indices..., *scalar_prefetch_refs);
+        # the mask/out block coordinates come from the tile list
+        if t.split:
+            mspec = pl.BlockSpec(
+                (1, 2, 128, TY * HTX),
+                lambda p, bb, by1, wx1, of1, iar, jar: (
+                    iar[p] * xt + jar[p], 0, 0, 0))
+            myspec = pl.BlockSpec(
+                (1, byp_c, 2, TY * HTX),
+                lambda p, bb, by1, wx1, of1, iar, jar: (
+                    iar[p] * xt + jar[p], 0, 0, 0))
+        else:
+            mspec = pl.BlockSpec(
+                (1, t.wxd, TY * TX),
+                lambda p, bb, by1, wx1, of1, iar, jar: (
+                    iar[p] * xt + jar[p], 0, 0))
+            myspec = pl.BlockSpec(
+                (1, byp_c, TY * TX),
+                lambda p, bb, by1, wx1, of1, iar, jar: (
+                    iar[p] * xt + jar[p], 0, 0))
+        aliased = out is not None
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(ntc, b // fpp),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # img
+            + ([pl.BlockSpec(memory_space=pl.ANY)] if aliased else [])
+            + [mspec] * (len(masks) - 1)
+            + [myspec],
+            out_specs=pl.BlockSpec(
+                (fpp, 3, TY, TX),
+                lambda p, bb, by1, wx1, of1, iar, jar: (
+                    bb, 0, iar[p], jar[p])),
+            scratch_shapes=[
+                pltpu.VMEM((3, fpp, 3, byp_c, t.wxpf),
+                           jnp.bfloat16 if int_domain else jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+        kern = functools.partial(
+            _warp_kernel, byp=byp_c, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad,
+            exact=exact, split=t.split, row_align=t.row_align,
+            int_domain=int_domain, interpret=interpret, debug=debug, fpp=fpp,
+            aliased=aliased,
+        )
+        operands = [imgs] + ([out] if aliased else []) + list(masks)
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, 3, t.h, t.w), jnp.float32),
+            # alias the previous class's output: this call only writes
+            # its own tiles; the donated buffer keeps the rest
+            input_output_aliases={6: 0} if aliased else {},
+            interpret=interpret,
+        )(
+            jnp.asarray(by2[ia, ja].astype(np.int32)),
+            jnp.asarray(wx2[ia, ja].astype(np.int32)),
+            jnp.asarray(off2[ia, ja].astype(np.int32)),
+            jnp.asarray(ia.astype(np.int32)),
+            jnp.asarray(ja.astype(np.int32)),
+            *operands,
+        )
+    return out
 
 
 def warp_nhwc(

@@ -1,14 +1,23 @@
 """Separable Gaussian blur with replicate borders (JAX).
 
-Tap-order-compatible with oracle.ops.gaussian_blur_replicate so f32
-results match the ground truth bit-for-bit modulo VPU rounding of
-identical operation sequences. The kernel is a static tuple of Python
-floats, so each tap's multiply-add unrolls and XLA fuses the whole blur
-with neighbouring elementwise stages.
+Numerically matches oracle.ops.gaussian_blur_replicate to within a few
+ulps: identical taps in identical order for interior pixels; at the
+borders the replicate-clipped taps are PRE-FOLDED into one coefficient
+per edge (a handful of f32 additions reassociate — orders of magnitude
+under the 1-LSB budget, same folding bloom2's banded masks use).
+
+Why the fold: the straightforward jnp.pad(mode="edge") lowers to a
+concatenate, which XLA MATERIALIZES before the tap slices read it —
+at 1080p that is an extra full-image round-trip per axis. A CONSTANT
+zero pad is a native XLA Pad op that fuses into the consuming adds, so
+the whole axis pass is one fused sweep; the dropped edge contributions
+come back as two rank-1 corrections (static coefficient vectors times
+the first/last row or column), also fused.
 
 Replaces cv2.GaussianBlur at crt_filter.py:610 (bloom) and :234 (triad
-softness, computed host-side instead). A Pallas VMEM-tiled variant lives
-in pythoncrt_tpu.kernels.bloom for large sigmas.
+softness, computed host-side instead). Pallas variants live in
+pythoncrt_tpu.kernels.bloom2 (fast-bloom composite; the gaussian
+variant measured slower than this fused XLA form at 1080p).
 """
 
 from __future__ import annotations
@@ -22,16 +31,36 @@ def _blur_axis(img: jnp.ndarray, taps: tuple, axis: int) -> jnp.ndarray:
     if k == 1:
         return img * taps[0]
     r = k // 2
+    n = img.shape[axis]
     pad = [(0, 0)] * img.ndim
     pad[axis] = (r, r)
-    padded = jnp.pad(img, pad, mode="edge")
-    n = img.shape[axis]
+    padded = jnp.pad(img, pad)  # constant 0: fuses (edge mode wouldn't)
     out = None
     for i, t in enumerate(taps):
         sl = [slice(None)] * img.ndim
         sl[axis] = slice(i, i + n)
         term = np.float32(t) * padded[tuple(sl)]
         out = term if out is None else out + term
+
+    # Border fixups: taps that the oracle clips onto the edge samples
+    # read zeros above, so add (sum of clipped taps) * edge sample.
+    cl = np.zeros(n, np.float32)
+    cr = np.zeros(n, np.float32)
+    idx = np.arange(n)
+    for i, t in enumerate(taps):
+        src = idx + i - r
+        cl[src < 0] += np.float32(t)
+        cr[src > n - 1] += np.float32(t)
+    shape = [1] * img.ndim
+    shape[axis] = n
+    first = [slice(None)] * img.ndim
+    first[axis] = slice(0, 1)
+    last = [slice(None)] * img.ndim
+    last[axis] = slice(n - 1, n)
+    if cl.any():
+        out = out + jnp.asarray(cl).reshape(shape) * img[tuple(first)]
+    if cr.any():
+        out = out + jnp.asarray(cr).reshape(shape) * img[tuple(last)]
     return out
 
 
