@@ -5,7 +5,7 @@ Flag surface is name-for-name compatible with the reference CLI
 semantics applied by the driver (:1225-1266). TPU-specific additions:
 --batch-size, --engine-mode, --rng, --seed, --assoc-scan, --precision,
 --preset, --text-preset, --pipe-format, --segment-frames, --profile,
---sharding, --devices, --decode-workers.
+--sharding, --devices, --decode-workers, --check-deps.
 """
 
 from __future__ import annotations
@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--glitch-height", type=float, default=0.0)
     p.add_argument("--gui", action="store_true")
     # --- TPU-native additions ---
+    p.add_argument("--check-deps", action="store_true",
+                   help="report missing dependencies and exit (the "
+                        "reference's import-time pip bootstrap, "
+                        "redesigned as an explicit diagnostic)")
     p.add_argument("--preset", type=str, default="",
                    help="load an effect preset JSON (reference schema)")
     p.add_argument("--text-preset", type=str, default="",
@@ -169,6 +173,12 @@ def params_from_args(a: argparse.Namespace) -> EffectParams:
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
+    if a.check_deps:
+        from .bootstrap import check_deps
+
+        rep = check_deps()
+        print(rep.render())
+        return 0 if rep.ok else 4
     if a.gui or not a.input:
         from .gui import launch_gui
 

@@ -126,7 +126,17 @@ def render_preview_frame(
     return oracle.ops.to_uint8(img), new_prev
 
 
-def run_app() -> int:
+_QT_CLASSES = None
+
+
+def qt_classes():
+    """Import Qt and build the widget classes once (cached). Separate
+    from run_app so offscreen tests can construct CRTWindow without
+    entering the event loop; the module stays importable without
+    PySide6 (pythoncrt_tpu.gui gates on availability)."""
+    global _QT_CLASSES
+    if _QT_CLASSES is not None:
+        return _QT_CLASSES
     from PySide6 import QtCore, QtGui, QtWidgets
 
     class ExportDialog(QtWidgets.QDialog):
@@ -661,6 +671,19 @@ def run_app() -> int:
                 pass
             super().closeEvent(e)
 
+    import types
+
+    _QT_CLASSES = types.SimpleNamespace(
+        QtCore=QtCore, QtGui=QtGui, QtWidgets=QtWidgets,
+        ExportDialog=ExportDialog, RenderWorker=RenderWorker,
+        CRTWindow=CRTWindow,
+    )
+    return _QT_CLASSES
+
+
+def run_app() -> int:
+    c = qt_classes()
+    QtGui, QtWidgets = c.QtGui, c.QtWidgets
     app = QtWidgets.QApplication.instance() or QtWidgets.QApplication([])
     app.setStyle("Fusion")
     # dark palette (crt_filter.py:2309-2346)
@@ -678,7 +701,7 @@ def run_app() -> int:
     ):
         pal.setColor(role, QtGui.QColor(*color))
     app.setPalette(pal)
-    win = CRTWindow()
+    win = c.CRTWindow()
     win.resize(1280, 760)
     win.show()
     return app.exec()

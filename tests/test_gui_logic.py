@@ -108,3 +108,37 @@ class TestPreviewReader:
         assert f0 is not None and f5 is not None
         assert not np.array_equal(f0, f5)
         r.close()
+
+
+class TestQtOffscreenSmoke:
+    """Exercises the real Qt window when PySide6 exists (components
+    #23-25); skipped on headless TPU hosts where it doesn't."""
+
+    def test_window_builds_offscreen(self, clip_file, monkeypatch):
+        pytest.importorskip("PySide6", reason="PySide6 not installed "
+                            "on this host (GUI is optional; logic is "
+                            "covered Qt-free above)")
+        monkeypatch.setenv("QT_QPA_PLATFORM", "offscreen")
+        from PySide6.QtWidgets import QApplication
+
+        from pythoncrt_tpu.gui_qt import qt_classes
+
+        app = QApplication.instance() or QApplication([])
+        win = qt_classes().CRTWindow()
+        # preset plumbing round-trips through the real controls
+        s = win._collect_settings()
+        win._apply_settings(s)
+        assert win._collect_settings() == s
+        win.close()
+        app.processEvents()
+
+    @pytest.fixture
+    def clip_file(self, tmp_path):
+        frames = synth_frames(4, 32, 48, seed=7)
+        path = tmp_path / "smoke.mp4"
+        wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             24, (48, 32))
+        for f in frames:
+            wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        wr.release()
+        return str(path)
