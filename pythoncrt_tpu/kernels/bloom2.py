@@ -52,11 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..oracle.ops import bilinear_taps, gaussian_kernel_1d
 
-KW = 256  # lane window per column tile (center 128 + right halo; the
-#           left reach is absorbed by a lane PRE-PAD so window origins
-#           stay 128-aligned at the tile start — K=256 instead of a
-#           three-tile 384 window: 1/3 less DMA and matmul)
-TXL = 128  # output lanes per program
+# Output lanes per program (TXL) and the lane window (KW) are per-spec:
+# the kernel is DMA-bound, and narrow windows make tiny strided rows
+# (1 KB at TXL=128), so TXL groups several 128-lane tiles — the band's
+# left reach is absorbed by a lane PRE-PAD so windows still start at
+# the group origin. The matmul K grows with TXL but stays trivial next
+# to the DMA.
+_TXL_CANDIDATES = (640, 384, 256, 128)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -117,26 +119,27 @@ def _band(m: np.ndarray):
     return d0, d1, wts
 
 
-def _lane_masks(hm: np.ndarray, w: int, lpad: int) -> np.ndarray:
-    """Per-column-tile banded masks over interleaved NHWC lanes.
+def _lane_masks(hm: np.ndarray, w: int, lpad: int, txl: int,
+                kw: int) -> np.ndarray:
+    """Per-column-group banded masks over interleaved NHWC lanes.
 
     The image is pre-padded with lpad dead lanes on the LEFT, so every
-    tap of out lane l0 = 128j+n (= pixel 3x0+c) sits at padded lane
-    3x' + c + lpad >= l0, and the K=256 window starting AT the tile
-    origin 128j covers the whole band: mask[j, k, n] = hm[x0, x'] with
-    k = 3x' + c + lpad - 128j."""
+    tap of out lane l0 = txl*j+n (= pixel 3x0+c) sits at padded lane
+    3x' + c + lpad >= l0, and the K=kw window starting AT the group
+    origin txl*j covers the whole band: mask[j, k, n] = hm[x0, x'] with
+    k = 3x' + c + lpad - txl*j."""
     w3 = 3 * w
-    ntw = w3 // TXL
-    masks = np.zeros((ntw, KW, TXL), np.float32)
+    ntw = w3 // txl
+    masks = np.zeros((ntw, kw, txl), np.float32)
     for j in range(ntw):
-        base = TXL * j
-        l0 = base + np.arange(TXL)
+        base = txl * j
+        l0 = base + np.arange(txl)
         x0, c = l0 // 3, l0 % 3
-        for n in range(TXL):
+        for n in range(txl):
             row = hm[x0[n]]
             nz = np.nonzero(row)[0]
             k = 3 * nz + c[n] + lpad - base
-            assert k.min() >= 0 and k.max() < KW, (j, n, k.min(), k.max())
+            assert k.min() >= 0 and k.max() < kw, (j, n, k.min(), k.max())
             masks[j, k, n] = row[nz]
     return masks
 
@@ -153,7 +156,9 @@ class Bloom2Spec:
     d0: int  # vertical band offsets (d0 <= 0 <= d1 in practice)
     d1: int
     lpad: int  # left lane pre-pad absorbing the band's left reach
-    masks: np.ndarray = field(repr=False)  # (ntw, KW, TXL) f32
+    txl: int  # output lanes per program (a group of 128-lane tiles)
+    kw: int  # lane window per program
+    masks: np.ndarray = field(repr=False)  # (ntw, kw, txl) f32
     vwts: np.ndarray = field(repr=False)  # (nd, h) f32
 
 
@@ -173,17 +178,23 @@ def build_bloom2_spec(h: int, w: int, *, variant: str, sigma: float = 0.0,
     left_px = int(np.maximum(ys - xs, 0).max())
     right_px = int(np.maximum(xs - ys, 0).max())
     lpad = 3 * left_px
-    # the whole lane band (left reach absorbed by lpad) must fit the
-    # K=256 window's halo beyond the 128 output lanes
-    if lpad + 3 * right_px + 2 > KW - TXL:
-        raise ValueError("horizontal band exceeds the lane-window halo")
+    halo = _round_up(lpad + 3 * right_px + 2, 128)
+    # widest group that divides the lane count: bigger groups mean
+    # longer contiguous DMA rows and fewer programs (the kernel is
+    # DMA-bound), at the price of a larger-K (still trivial) matmul
+    w3 = 3 * w
+    txl = next((c for c in _TXL_CANDIDATES if w3 % c == 0), None)
+    if txl is None:
+        raise ValueError(f"no lane grouping divides W*3={w3}")
+    kw = txl + halo
     return Bloom2Spec(
         h=h, w=w, variant=variant, strength=float(strength),
         threshold=float(min(0.99, max(0.0, threshold))),
         # window rows rounded to the 8-sublane DMA tiling; the extra
         # bottom rows are zero-padded and carry no vertical weights
         ty=ty, sy=_round_up(ty + (d1 - d0) + 1 - 1, 8), d0=d0, d1=d1,
-        lpad=lpad, masks=_lane_masks(hm, w, lpad), vwts=vwts,
+        lpad=lpad, txl=txl, kw=kw,
+        masks=_lane_masks(hm, w, lpad, txl, kw), vwts=vwts,
     )
 
 
@@ -202,7 +213,7 @@ def build_bloom2_consts(spec: Bloom2Spec):
 
 def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
                    out_ref, win_ref, sem, *, spec: Bloom2Spec,
-                   interpret: bool = False, fpp: int = 1):
+                   interpret: bool = False, fpp: int = 1, debug: str = ""):
     # grid (j, i, b-group): mask blocks re-fetch only when j advances.
     # fpp frames per program + 3-deep prefetch: the kernel is DMA-
     # latency bound at one frame per program (like the warp kernel), so
@@ -217,7 +228,7 @@ def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
     nbuf = 3
     slot = jax.lax.rem(t, nbuf)
     ty, sy = spec.ty, spec.sy
-    w3 = 3 * spec.w
+    txl, kw = spec.txl, spec.kw
     nd = spec.d1 - spec.d0 + 1
 
     def start_dma(tt, sl):
@@ -225,15 +236,28 @@ def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
         ii = jax.lax.rem(tt // n_b, n_i)
         jj = tt // (n_b * n_i)
         # the lane pre-pad absorbed the band's left reach, so the
-        # window starts AT the tile origin (always in range: the
-        # wrapper right-pads to TXL*(ntw-1) + KW)
-        base = TXL * jj
+        # window starts AT the group origin (always in range: the
+        # wrapper right-pads to txl*(ntw-1) + kw)
+        base = pl.multiple_of(txl * jj, 128)
+        # two copies on separate semaphores (split across the frame
+        # group). Measured NEUTRAL on v5e at 1080p — kept because it
+        # costs nothing and documents that a single-engine cap is NOT
+        # what limits this kernel (dma-only == full time even with the
+        # split; see ROADMAP.md round-2 notes).
+        h1 = fpp // 2 if fpp > 1 else fpp
         pltpu.make_async_copy(
-            img_ref.at[pl.ds(bb * fpp, fpp), pl.ds(ii * ty, sy),
-                       pl.ds(pl.multiple_of(base, TXL), KW)],
-            win_ref.at[sl],
-            sem.at[sl],
+            img_ref.at[pl.ds(bb * fpp, h1), pl.ds(ii * ty, sy),
+                       pl.ds(base, kw)],
+            win_ref.at[sl, pl.ds(0, h1)],
+            sem.at[sl, 0],
         ).start()
+        if fpp > 1:
+            pltpu.make_async_copy(
+                img_ref.at[pl.ds(bb * fpp + h1, fpp - h1), pl.ds(ii * ty, sy),
+                           pl.ds(base, kw)],
+                win_ref.at[sl, pl.ds(h1, fpp - h1)],
+                sem.at[sl, 1],
+            ).start()
 
     @pl.when(t == 0)
     def _():
@@ -247,13 +271,23 @@ def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
     def _():
         start_dma(t + nbuf - 1, jax.lax.rem(t + nbuf - 1, nbuf))
 
+    h1 = fpp // 2 if fpp > 1 else fpp
     pltpu.make_async_copy(
-        img_ref.at[pl.ds(0, fpp), pl.ds(0, sy), pl.ds(0, KW)],
-        win_ref.at[slot],
-        sem.at[slot],
+        img_ref.at[pl.ds(0, h1), pl.ds(0, sy), pl.ds(0, kw)],  # shape-only
+        win_ref.at[slot, pl.ds(0, h1)],
+        sem.at[slot, 0],
     ).wait()
+    if fpp > 1:
+        pltpu.make_async_copy(
+            img_ref.at[pl.ds(0, fpp - h1), pl.ds(0, sy), pl.ds(0, kw)],
+            win_ref.at[slot, pl.ds(h1, fpp - h1)],
+            sem.at[slot, 1],
+        ).wait()
 
     src = win_ref[slot]  # (FPP, SY, KW) f32
+    if debug == "dma":  # timing probe: DMA + store only (WRONG output)
+        out_ref[...] = src[:, :ty, :txl]
+        return
     if spec.threshold > 0.0:
         thr = np.float32(spec.threshold)
         src = jnp.clip(
@@ -264,7 +298,7 @@ def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
     # horizontal composite: 3-pass hi/lo bf16 split (lo*lo dropped,
     # ~2^-18 relative — see kernels/warp.py matmul3); frames fold into
     # the matmul M dim.
-    src2 = src.reshape(fpp * sy, KW)
+    src2 = src.reshape(fpp * sy, kw)
     v_hi = src2.astype(jnp.bfloat16)
     v_lo = (src2 - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     mh, ml = mhi_ref[0], mlo_ref[0]
@@ -281,7 +315,7 @@ def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
     else:
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     hacc = (dot(v_hi, mh) + dot(v_hi, ml) + dot(v_lo, mh)).reshape(
-        fpp, sy, TXL)
+        fpp, sy, txl)
 
     # vertical composite: static band FMAs with per-row weight columns.
     # hacc[f, rel] holds hblur(image row i*ty + rel + d0) (padded rows
@@ -298,7 +332,7 @@ def _bloom2_kernel(img_ref, center_ref, mhi_ref, mlo_ref, vw_ref,
 
 
 def bloom2_nhwc(imgs: jax.Array, spec: Bloom2Spec, consts=None,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False, debug: str = "") -> jax.Array:
     """Fused bloom over (B, H, W, 3) f32 in [0, 1].
 
     consts: the (m_hi, m_lo, vw) triple from build_bloom2_consts —
@@ -315,29 +349,30 @@ def bloom2_nhwc(imgs: jax.Array, spec: Bloom2Spec, consts=None,
     # (the bottom pad also covers the 8-row window alignment of sy);
     # zero LANES on the left absorb the band's left reach so windows
     # start at their tile origin (dead lanes have zero mask weight)
-    ntw = 3 * w // TXL
-    rpad = max(0, TXL * (ntw - 1) + KW - (3 * w + spec.lpad))
+    ntw = 3 * w // spec.txl
+    rpad = max(0, spec.txl * (ntw - 1) + spec.kw - (3 * w + spec.lpad))
     padded = jnp.pad(flat, ((0, 0), (-spec.d0, spec.sy - spec.ty + spec.d0),
                             (spec.lpad, rpad)))
     # frames per program (see _bloom2_kernel)
     fpp = next(f for f in (8, 4, 2, 1) if b % f == 0)
-    grid = (3 * w // TXL, h // spec.ty, b // fpp)
+    grid = (ntw, h // spec.ty, b // fpp)
     out = pl.pallas_call(
         functools.partial(_bloom2_kernel, spec=spec, interpret=interpret,
-                          fpp=fpp),
+                          fpp=fpp, debug=debug),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded image (manual DMA)
-            pl.BlockSpec((fpp, spec.ty, TXL), lambda j, i, bb: (bb, i, j)),
-            pl.BlockSpec((1, KW, TXL), lambda j, i, bb: (j, 0, 0)),
-            pl.BlockSpec((1, KW, TXL), lambda j, i, bb: (j, 0, 0)),
+            pl.BlockSpec((fpp, spec.ty, spec.txl), lambda j, i, bb: (bb, i, j)),
+            pl.BlockSpec((1, spec.kw, spec.txl), lambda j, i, bb: (j, 0, 0)),
+            pl.BlockSpec((1, spec.kw, spec.txl), lambda j, i, bb: (j, 0, 0)),
             pl.BlockSpec((1, nd, spec.ty), lambda j, i, bb: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((fpp, spec.ty, TXL), lambda j, i, bb: (bb, i, j)),
+        out_specs=pl.BlockSpec((fpp, spec.ty, spec.txl),
+                               lambda j, i, bb: (bb, i, j)),
         out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, fpp, spec.sy, KW), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((3, fpp, spec.sy, spec.kw), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
         interpret=interpret,
     )(padded, flat, m_hi, m_lo, vw)
