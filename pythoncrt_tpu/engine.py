@@ -459,6 +459,8 @@ class CRTEngine:
             else:
                 field = noise
             if p.grain_size > 1:
+                # (columns-first upsample measured NEUTRAL at 1080p —
+                # the rows-first oracle order stays for bit-parity)
                 field = oresize.resize_bilinear(field, *c["grain_taps"])
             field = field * np.float32(p.noise_strength / 255.0)
             img = jnp.clip(img + field[:, :, None], 0.0, 1.0)
