@@ -150,10 +150,15 @@ def bench_c5(quick=False, iters=3):
     # relay carries a ~1s one-time hiccup that would pollute the average
     out, st = mc._step(clips, aux, st, later, eng._c)
     int(red(out))
+    del red
+    # thread the state: each call consumes the previous call's carry, so
+    # iterations serialize WITHOUT a per-iteration host readback (each
+    # readback costs 1-2 relay RTTs of ~30-60 ms on this rig — at 4K
+    # that inflated the measurement ~2x vs the plain engine)
     t0 = time.perf_counter()
     for i in range(iters):
         out, st = mc._step(clips, aux, st, later, eng._c)
-        int(red(out))
+    out.block_until_ready()
     return c * b * iters / (time.perf_counter() - t0)
 
 
