@@ -143,3 +143,26 @@ class TestShardedPipeline:
         assert a.shape == b.shape == frames.shape
         # same engine math + same encoder: decoded outputs match closely
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+class TestShardedPallasKernels:
+    """The Pallas kernels run PER SHARD under shard_map on real
+    multi-chip meshes; interpret mode on the virtual CPU mesh proves
+    the combination traces, shards, and matches the single-device
+    engine (W=128 passes the kernels' lane gate)."""
+
+    def test_warp_and_glitch_kernels_shard(self, mesh):
+        frames = synth_frames(16, 32, 128, seed=11)
+        p = EffectParams(
+            persistence=0.3, warp_strength=0.2, glitch_amp_px=4,
+            glitch_height_frac=0.4, noise_strength=0.0,
+        )
+        eng = CRTEngine(p, 32, 128, FPS, pallas="on", interpret=True)
+        assert eng._pallas_warp and eng._pallas_glitch
+        ref, ref_st = eng.process(frames)
+        sh = ShardedCRTEngine(eng, mesh)
+        got, got_st = sh.process(frames)
+        assert u8diff(got, ref) <= 1  # scan vs carry-composed blend order
+        np.testing.assert_allclose(
+            np.asarray(got_st), np.asarray(ref_st), atol=1e-5
+        )
