@@ -377,3 +377,127 @@ def bloom2_nhwc(imgs: jax.Array, spec: Bloom2Spec, consts=None,
         interpret=interpret,
     )(padded, flat, m_hi, m_lo, vw)
     return out.reshape(b, h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Fully-pipelined variant: no manual DMA at all. The manual-window kernel
+# above measures DMA/stall-bound far beyond its traffic (~0.8 ms/f for
+# ~0.25 ms of theory at 1080p; dma-only == full time, and neither lane
+# grouping, program count, nor a dual-semaphore split moved it). Here the
+# overlapping window is assembled from NON-overlapping blocks of the same
+# padded operand — core, lane-halo, and 8-row row-halo strips (plus
+# corners) each arrive through Pallas's own multi-buffered pipeline, so
+# whatever stalls hand-rolled copies is out of the path entirely.
+# ---------------------------------------------------------------------------
+
+
+def _bloom2_pipe_kernel(center_ref, core_ref, lh_ref, *refs,
+                        spec: Bloom2Spec, nh: int, fpp: int,
+                        interpret: bool = False):
+    rows = [refs[2 * s] for s in range(nh)]  # row-halo strips (fpp, 8, txl)
+    corners = [refs[2 * s + 1] for s in range(nh)]  # (fpp, 8, hl)
+    mhi_ref, mlo_ref, vw_ref, out_ref = refs[2 * nh:]
+    ty, txl, kw = spec.ty, spec.txl, spec.kw
+    hl = kw - txl
+    nd = spec.d1 - spec.d0 + 1
+
+    def knee(x):
+        if spec.threshold <= 0.0:
+            return x
+        thr = np.float32(spec.threshold)
+        return jnp.clip(
+            (x - thr) * np.float32(1.0 / max(1e-6, 1.0 - spec.threshold)),
+            0.0, 1.0,
+        )
+
+    if interpret:
+        def dot(a, bmat):
+            return (a.astype(jnp.float32)[:, :, None]
+                    * bmat.astype(jnp.float32)[None]).sum(axis=1)
+    else:
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    m1h, m1l = mhi_ref[0, :txl], mlo_ref[0, :txl]
+    m2h, m2l = mhi_ref[0, txl:], mlo_ref[0, txl:]
+
+    def hpass(main, halo, nrows):
+        a = knee(main[...]).reshape(fpp * nrows, txl)
+        bb = knee(halo[...]).reshape(fpp * nrows, hl)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = bb.astype(jnp.bfloat16)
+        b_lo = (bb - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = dot(a_hi, m1h) + dot(a_hi, m1l) + dot(a_lo, m1h)
+        acc = acc + dot(b_hi, m2h) + dot(b_hi, m2l) + dot(b_lo, m2h)
+        return acc.reshape(fpp, nrows, txl)
+
+    pieces = [hpass(core_ref, lh_ref, ty)]
+    for s in range(nh):
+        pieces.append(hpass(rows[s], corners[s], 8))
+    hfull = jnp.concatenate(pieces, axis=1) if nh else pieces[0]
+
+    vacc = None
+    for d in range(nd):
+        term = vw_ref[0, d][None, :, None] * hfull[:, d:d + ty, :]
+        vacc = term if vacc is None else vacc + term
+
+    out_ref[...] = jnp.clip(
+        center_ref[...] + np.float32(spec.strength) * vacc, 0.0, 1.0
+    )
+
+
+def bloom2_nhwc_pipelined(imgs: jax.Array, spec: Bloom2Spec, consts=None,
+                          interpret: bool = False) -> jax.Array:
+    """Fused bloom via pipelined window pieces (see note above).
+
+    Requires the vertical halo to fit whole 8-row strips (sy - ty a
+    multiple of 8 — guaranteed by the spec's rounding) and a 128-lane
+    horizontal halo (kw - txl == 128 — true for both variants at the
+    clamped sigma range).
+    """
+    b, h, w = imgs.shape[0], spec.h, spec.w
+    if consts is None:
+        consts = build_bloom2_consts(spec)
+    m_hi, m_lo, vw = consts
+    ty, txl, kw = spec.ty, spec.txl, spec.kw
+    hl = kw - txl
+    if hl != 128:
+        raise ValueError(f"pipelined bloom2 needs a 128-lane halo, got {hl}")
+    nh = (spec.sy - ty) // 8
+    if nh > 2:
+        raise ValueError(f"vertical halo {spec.sy - ty} rows too deep")
+    g = txl // 128
+    flat = imgs.reshape(b, h, 3 * w)
+    nd = spec.d1 - spec.d0 + 1
+    ntw = 3 * w // txl
+    rpad = max(0, txl * (ntw - 1) + kw - (3 * w + spec.lpad))
+    padded = jnp.pad(flat, ((0, 0), (-spec.d0, spec.sy - spec.ty + spec.d0),
+                            (spec.lpad, rpad)))
+    fpp = next(f for f in (4, 2, 1) if b % f == 0)
+    grid = (ntw, h // ty, b // fpp)
+
+    core = pl.BlockSpec((fpp, ty, txl), lambda j, i, bb: (bb, i, j))
+    lh = pl.BlockSpec((fpp, ty, 128), lambda j, i, bb: (bb, i, g * (j + 1)))
+    halo_specs = []
+    for s in range(nh):
+        halo_specs.append(pl.BlockSpec(
+            (fpp, 8, txl), lambda j, i, bb, s=s: (bb, (ty // 8) * i + ty // 8 + s, j)))
+        halo_specs.append(pl.BlockSpec(
+            (fpp, 8, 128),
+            lambda j, i, bb, s=s: (bb, (ty // 8) * i + ty // 8 + s, g * (j + 1))))
+    out = pl.pallas_call(
+        functools.partial(_bloom2_pipe_kernel, spec=spec, nh=nh, fpp=fpp,
+                          interpret=interpret),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fpp, ty, txl), lambda j, i, bb: (bb, i, j)),  # center
+            core, lh, *halo_specs,
+            pl.BlockSpec((1, kw, txl), lambda j, i, bb: (j, 0, 0)),
+            pl.BlockSpec((1, kw, txl), lambda j, i, bb: (j, 0, 0)),
+            pl.BlockSpec((1, nd, ty), lambda j, i, bb: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fpp, ty, txl), lambda j, i, bb: (bb, i, j)),
+        out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), jnp.float32),
+        interpret=interpret,
+    )(flat, padded, padded, *([padded] * (2 * nh)), m_hi, m_lo, vw)
+    return out.reshape(b, h, w, 3)

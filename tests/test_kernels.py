@@ -179,6 +179,22 @@ class TestBloom2Kernel:
         with pytest.raises(ValueError):
             kb2.build_bloom2_spec(32, 200, variant="fast")
 
+    @pytest.mark.parametrize("variant,kwargs", [
+        ("gaussian", dict(sigma=1.2, strength=0.3)),
+        ("fast", dict(strength=0.4, threshold=0.2)),
+    ])
+    def test_pipelined_matches_manual(self, rng, variant, kwargs):
+        """The pipelined-pieces variant assembles the overlapping window
+        from non-overlapping BlockSpec pieces; it must equal the
+        manual-DMA kernel to f32 noise."""
+        from pythoncrt_tpu.kernels import bloom2 as kb2
+
+        imgs = rng.random((2, H, W, 3), dtype=np.float32)
+        spec = kb2.build_bloom2_spec(H, W, variant=variant, **kwargs)
+        a = np.asarray(kb2.bloom2_nhwc(imgs, spec, interpret=True))
+        b = np.asarray(kb2.bloom2_nhwc_pipelined(imgs, spec, interpret=True))
+        assert np.abs(a - b).max() < 1e-6
+
 
 class TestGlitchKernel:
     def test_shear_matches_take_along_axis(self, rng):
