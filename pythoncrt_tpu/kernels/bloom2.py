@@ -393,7 +393,7 @@ def bloom2_nhwc(imgs: jax.Array, spec: Bloom2Spec, consts=None,
 
 def _bloom2_pipe_kernel(center_ref, core_ref, lh_ref, *refs,
                         spec: Bloom2Spec, nh: int, fpp: int,
-                        interpret: bool = False):
+                        interpret: bool = False, limbs: int = 3):
     rows = [refs[2 * s] for s in range(nh)]  # row-halo strips (fpp, 8, txl)
     corners = [refs[2 * s + 1] for s in range(nh)]  # (fpp, 8, hl)
     mhi_ref, mlo_ref, vw_ref, out_ref = refs[2 * nh:]
@@ -421,14 +421,20 @@ def _bloom2_pipe_kernel(center_ref, core_ref, lh_ref, *refs,
     m2h, m2l = mhi_ref[0, txl:], mlo_ref[0, txl:]
 
     def hpass(main, halo, nrows):
+        # limbs: 3 = exact (hi*hi + hi*lo + lo*hi); 2 drops the value lo
+        # limb (~2^-9 relative); 1 is a single bf16 pass — the reduced
+        # counts exist as timing probes for the kernel's stall analysis
         a = knee(main[...]).reshape(fpp * nrows, txl)
         bb = knee(halo[...]).reshape(fpp * nrows, hl)
         a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b_hi = bb.astype(jnp.bfloat16)
-        b_lo = (bb - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = dot(a_hi, m1h) + dot(a_hi, m1l) + dot(a_lo, m1h)
-        acc = acc + dot(b_hi, m2h) + dot(b_hi, m2l) + dot(b_lo, m2h)
+        acc = dot(a_hi, m1h) + dot(b_hi, m2h)
+        if limbs >= 2:
+            acc = acc + dot(a_hi, m1l) + dot(b_hi, m2l)
+        if limbs >= 3:
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_lo = (bb - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + dot(a_lo, m1h) + dot(b_lo, m2h)
         return acc.reshape(fpp, nrows, txl)
 
     pieces = [hpass(core_ref, lh_ref, ty)]
@@ -447,7 +453,7 @@ def _bloom2_pipe_kernel(center_ref, core_ref, lh_ref, *refs,
 
 
 def bloom2_nhwc_pipelined(imgs: jax.Array, spec: Bloom2Spec, consts=None,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False, limbs: int = 3) -> jax.Array:
     """Fused bloom via pipelined window pieces (see note above).
 
     Requires the vertical halo to fit whole 8-row strips (sy - ty a
@@ -487,7 +493,7 @@ def bloom2_nhwc_pipelined(imgs: jax.Array, spec: Bloom2Spec, consts=None,
             lambda j, i, bb, s=s: (bb, (ty // 8) * i + ty // 8 + s, g * (j + 1))))
     out = pl.pallas_call(
         functools.partial(_bloom2_pipe_kernel, spec=spec, nh=nh, fpp=fpp,
-                          interpret=interpret),
+                          interpret=interpret, limbs=limbs),
         grid=grid,
         in_specs=[
             pl.BlockSpec((fpp, ty, txl), lambda j, i, bb: (bb, i, j)),  # center
