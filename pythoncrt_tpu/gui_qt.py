@@ -118,10 +118,15 @@ def render_preview_frame(
         noise_field=noise, text_rgba=text_rgba, engine="preview",
     )
     new_prev = None
-    if stateful and p.persistence_on:
-        if prev_img is not None and prev_img.shape != img.shape:
-            prev_img = None
-        img = oracle.persistence_blend(prev_img, img, p.persistence)
+    if stateful:
+        if p.persistence_on:
+            if prev_img is not None and prev_img.shape != img.shape:
+                prev_img = None
+            img = oracle.persistence_blend(prev_img, img, p.persistence)
+        # the reference's preview returns the current frame as state even
+        # at persistence 0 (crt_filter.py:687-694), so toggling
+        # persistence off for a tick blends the next tick against the
+        # latest frame instead of wiping or freezing the carry
         new_prev = img
     return oracle.ops.to_uint8(img), new_prev
 

@@ -194,11 +194,24 @@ class FFmpegRawReader:
         cmd = [exe, "-hide_banner", "-loglevel", "error"]
         if hwaccel and hwaccel != "auto":
             cmd += ["-hwaccel", hwaccel]
+        self._skip = 0
         if start_frame > 0:
             # accurate input seek: keyframe seek + decode-and-discard up
             # to the exact target, so resume cost is O(remaining) instead
-            # of a full-prefix decode (segment resume, segments.py)
-            cmd += ["-ss", f"{start_frame / float(fps):.6f}"]
+            # of a full-prefix decode (segment resume, segments.py).
+            # ONLY when the output rate matches the source rate: with -r
+            # resampling, an input-side -ss rebases the CFR grid on the
+            # first decoded pts, which can select source frames off by
+            # one near the seek vs an uninterrupted render — those
+            # clips decode-and-discard instead (correct, O(prefix)).
+            try:
+                src_fps = probe_clip(src).fps
+            except Exception:
+                src_fps = 0.0
+            if abs(src_fps - float(fps)) < 1e-3:
+                cmd += ["-ss", f"{start_frame / float(fps):.6f}"]
+            else:
+                self._skip = int(start_frame)
         cmd += [
             "-i", str(src),
             "-vf", f"scale={self.out_w}:{self.out_h}",
@@ -212,6 +225,15 @@ class FFmpegRawReader:
         """Decode the next frame directly into ``out`` ((H, W, 3) uint8,
         C-contiguous) — zero staging copies on the rgb24 path (the pipe
         read lands in the caller's batch buffer). Returns False at EOF."""
+        if self._skip > 0:
+            junk = np.empty((self.out_h, self.out_w, 3), np.uint8)
+            while self._skip > 0:
+                self._skip -= 1
+                if not self._read_one(junk):
+                    return False
+        return self._read_one(out)
+
+    def _read_one(self, out: np.ndarray) -> bool:
         from .. import native
 
         w, h = self.out_w, self.out_h
@@ -268,10 +290,21 @@ class CV2Reader:
         ratio = self.src_fps / self.out_fps
         if self._out_i > 0:
             # positioned read: jump to the source frame feeding output
-            # frame start_frame (O(remaining) resume)
+            # frame start_frame (O(remaining) resume). CAP_PROP_POS_FRAMES
+            # is not trusted blindly: verify where the backend actually
+            # landed; short landings self-correct (the read loop decodes
+            # forward to the exact target), and a landing PAST the target
+            # or an unreadable position reopens and decodes from 0
+            # (slow but exact).
             want0 = int(round(self._out_i * ratio))
             if want0 > 0 and self.cap.set(cv2.CAP_PROP_POS_FRAMES, want0):
-                self._src_i = want0 - 1
+                pos = int(self.cap.get(cv2.CAP_PROP_POS_FRAMES))
+                if 0 <= pos <= want0:
+                    self._src_i = pos - 1
+                else:
+                    self.cap.release()
+                    self.cap = cv2.VideoCapture(str(src))
+                    self._src_i = -1
 
     def read_into(self, out: np.ndarray) -> bool:
         """Decode the next output frame into ``out`` ((H, W, 3) uint8);
@@ -328,13 +361,21 @@ class ChunkedParallelReader:
         self.src, self.out_w, self.out_h, self.fps = str(src), int(out_w), int(out_h), float(fps)
         self.pref, self.pipe_format = decoder_preference, pipe_format
         self.batch = int(batch_size)
-        self.chunk = self.batch * int(chunk_batches)
+        # cap resident chunk buffers: each worker holds up to 3 chunks
+        # (queue 2 + in-flight), so at 4K a 64-frame chunk would pin
+        # gigabytes — shrink chunk_batches until a chunk stays <= 256 MB
+        frame_bytes = self.out_h * self.out_w * 3
+        cb = max(1, int(chunk_batches))
+        while cb > 1 and cb * self.batch * frame_bytes > 256 << 20:
+            cb -= 1
+        self.chunk = self.batch * cb
         self.start = int(start_frame)
         self.total = int(total_frames)
         n_chunks = max(1, -(-(self.total - self.start) // self.chunk))
         self.n_chunks = n_chunks
         self.workers = max(1, min(int(workers), n_chunks))
         self._qs = [_q.Queue(maxsize=2) for _ in range(self.workers)]
+        self._err = None
         self._stop = _t.Event()
         self._threads = [
             _t.Thread(target=self._worker, args=(w,), daemon=True)
@@ -360,21 +401,41 @@ class ChunkedParallelReader:
                         if not rdr.read_into(buf[got]):
                             break
                         got += 1
+                    if ci == self.n_chunks - 1 and got == f1 - f0:
+                        # total_frames is an estimate (ceil(duration*fps));
+                        # the LAST chunk reads to true EOF so an
+                        # underestimated duration can't silently truncate
+                        # the render vs the sequential reader
+                        extra = []
+                        one = np.empty((self.out_h, self.out_w, 3), np.uint8)
+                        while not self._stop.is_set() and rdr.read_into(one):
+                            extra.append(one.copy())
+                        if extra:
+                            buf = np.concatenate([buf, np.stack(extra)])
+                            got += len(extra)
                 finally:
                     rdr.close()
                 while not self._stop.is_set():
                     try:
                         q.put((ci, buf[:got]), timeout=0.2)
                         break
-                    except Exception:
+                    except _q.Full:
                         continue
                 if got < f1 - f0:
                     break  # EOF short of expectation: downstream stops here
+        except Exception as e:
+            # a decode failure must surface, not masquerade as EOF:
+            # iter_batches re-raises it at this worker's next chunk
+            self._err = e
         finally:
-            try:
-                q.put(None, timeout=5)
-            except Exception:
-                pass
+            # never droppable: iter_batches blocks on this queue until a
+            # sentinel arrives; bail out only when the consumer stopped
+            while not self._stop.is_set():
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except _q.Full:
+                    continue
 
     def iter_batches(self, batch_size: int):
         """Yield (abs_frame_index, (<=batch_size, H, W, 3) uint8 view)
@@ -383,6 +444,8 @@ class ChunkedParallelReader:
         for ci in range(self.n_chunks):
             item = self._qs[ci % self.workers].get()
             if item is None:
+                if self._err is not None:
+                    raise RuntimeError("parallel decode worker failed") from self._err
                 return
             got_ci, frames = item
             assert got_ci == ci, (got_ci, ci)

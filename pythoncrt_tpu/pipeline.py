@@ -49,7 +49,7 @@ def _put_or_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
 
 def _feeder(
     reader, batch_size: int, out_q: queue.Queue, stop: threading.Event,
-    start_idx: int = 0,
+    start_idx: int = 0, err: dict | None = None,
 ) -> None:
     """Decode thread: fill (B, H, W, 3) uint8 batch buffers.
 
@@ -61,6 +61,10 @@ def _feeder(
     (segment resume seeks the decoder, so no frames are dropped here);
     batch indices continue at the absolute position so phase / flicker /
     RNG keys are identical to an uninterrupted render.
+
+    A decoder exception is recorded in err["decode"] (surfaced by
+    process_video after the drain) rather than silently ending the
+    stream as a fake EOF.
     """
     try:
         if hasattr(reader, "iter_batches"):
@@ -83,12 +87,15 @@ def _feeder(
             idx0 += got
             if got < batch_size:
                 break
+    except Exception as e:  # surfaced by the consumer, not a fake EOF
+        if err is not None:
+            err["decode"] = e
     finally:
-        # best-effort sentinel: if the consumer already stopped, don't block
-        try:
-            out_q.put(None, timeout=5)
-        except queue.Full:
-            pass
+        # The sentinel must not be droppable: the main loop blocks on
+        # decode_q.get() until it sees None, so a 5s give-up here would
+        # convert encoder backpressure into a permanent hang. The
+        # stop-aware put bails out only when the consumer already quit.
+        _put_or_stop(out_q, None, stop)
 
 
 def _writer_loop(
@@ -296,6 +303,10 @@ def process_video(
 
     # opened after the resume point is known: the decoder seeks straight
     # to the first unrendered frame (O(remaining) resume)
+    if decode_workers > 1 and info.duration <= 0:
+        # unknown/zero duration: the chunk partition needs a frame
+        # count; the sequential reader just reads to EOF
+        decode_workers = 1
     if decode_workers > 1:
         reader = vio.ChunkedParallelReader(
             str(input_path), out_w, out_h, fps_out, total_frames, batch_size,
@@ -313,7 +324,8 @@ def process_video(
     stop = threading.Event()
     err: dict = {}
     t_dec = threading.Thread(
-        target=_feeder, args=(reader, batch_size, decode_q, stop, skip), daemon=True
+        target=_feeder, args=(reader, batch_size, decode_q, stop, skip, err),
+        daemon=True,
     )
     if segmented:
         t_enc = threading.Thread(
@@ -416,6 +428,8 @@ def process_video(
                     err.setdefault("encode", e)
         if "encode" in err:
             raise RuntimeError("encode failed") from err["encode"]
+        if "decode" in err:
+            raise RuntimeError("decode failed") from err["decode"]
         if segmented and clean:
             with perf.timed("io.merge"):
                 store.merge(

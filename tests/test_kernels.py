@@ -40,10 +40,31 @@ def test_warp_kernel_split_path(strength, rng):
 
 def test_warp_kernel_full_path_still_used_at_large_d(rng):
     """Strengths whose displacement span exceeds 64 must fall back to the
-    full-K path (and still match)."""
+    full-K path."""
     big = kwarp.build_warp_tables(544, 1920, 1.0)
-    # d > HTX at some (H, W, strength): assert the flag logic is coherent
-    assert big.split == (big.d <= kwarp.HTX and big.wxpf >= kwarp.HTX + 128)
+    assert big.d > kwarp.HTX  # this config genuinely exceeds the split bound
+    assert not big.split
+
+
+def test_warp_two_class_partition(rng):
+    """128x256 at s=0.5 splits tiles into BOTH window-row classes
+    (byp 16 and 24), exercising the scattered-tile second call and its
+    input_output_aliases pass-through of the first call's tiles."""
+    H2, W2, S = 128, 256, 0.5
+    tables = kwarp.build_warp_tables(H2, W2, S)
+    yt, xt = H2 // kwarp.TY, W2 // kwarp.TX
+    need = np.maximum(
+        tables.ylrel.reshape(yt, kwarp.TY, xt, kwarp.TX).max(axis=(1, 3)),
+        tables.yrrel.reshape(yt, kwarp.TY, xt, kwarp.TX).max(axis=(1, 3)),
+    ) + 1
+    assert (need <= 16).any() and (need > 16).any(), "config no longer two-class"
+    imgs = rng.random((2, H2, W2, 3), dtype=np.float32)
+    got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
+    map_x, map_y = oracle.barrel_warp_maps(H2, W2, S)
+    for b in range(2):
+        want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        err = np.abs(got[b] - want).max()
+        assert err < 2e-5, f"two-class err={err}"
 
 
 def test_warp_kernel_fast_mode_tolerance(rng):
@@ -89,8 +110,10 @@ def test_warp_kernel_int_domain(strength, rng):
 
 
 def test_warp_kernel_int_domain_emit_scaled(rng):
-    """emit_scaled returns the [0, 255] domain directly: rint equals the
-    normalized path's uint8 cast."""
+    """emit_scaled returns the [0, 255] domain directly; the normalized
+    path is the same value times 1/255. The two uint8 casts may flip at
+    EXACT .5 ties (a*(1/255)*255 != a in f32), so equality is asserted
+    away from ties and |diff| <= 1 on them."""
     frames = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
     imgs = frames.astype(np.float32) / 255.0
     tables = kwarp.build_warp_tables(H, W, 0.2, row_align=16)
@@ -98,10 +121,12 @@ def test_warp_kernel_int_domain_emit_scaled(rng):
                                    int_domain=True, emit_scaled=True))
     b = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True,
                                    int_domain=True))
-    np.testing.assert_array_equal(
-        np.clip(np.rint(a), 0, 255).astype(np.uint8),
-        np.clip(np.rint(b * 255.0), 0, 255).astype(np.uint8),
-    )
+    ua = np.clip(np.rint(a), 0, 255).astype(np.int32)
+    ub = np.clip(np.rint(b * 255.0), 0, 255).astype(np.int32)
+    diff = np.abs(ua - ub)
+    assert diff.max() <= 1
+    near_tie = np.abs(a - np.floor(a) - 0.5) < 1e-4
+    np.testing.assert_array_equal(diff[~near_tie], 0)
 
 
 def test_warp_int_domain_off_grid_lsb_bound(rng):

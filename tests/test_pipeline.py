@@ -120,6 +120,43 @@ class TestIO:
         par.close()
         assert got == len(frames)
 
+    def test_parallel_reader_underestimated_total(self, tiny_clip):
+        """total_frames can also UNDERSHOOT (imprecise duration
+        metadata): the last chunk reads to true EOF instead of silently
+        truncating relative to the sequential reader."""
+        path, frames = tiny_clip
+        par = vio.ChunkedParallelReader(
+            str(path), 64, 48, 24, total_frames=len(frames) - 3,
+            batch_size=4, workers=2, chunk_batches=1,
+        )
+        got = sum(b.shape[0] for _, b in par.iter_batches(4))
+        par.close()
+        assert got == len(frames)
+
+    def test_parallel_reader_surfaces_decode_failure(self, tiny_clip,
+                                                     monkeypatch):
+        """A worker exception must raise from iter_batches, not end the
+        stream as a fake EOF (truncated render reported as success)."""
+        path, frames = tiny_clip
+        real_open = vio.open_reader
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if k.get("start_frame", 0) > 0:
+                raise RuntimeError("simulated mid-stream decoder death")
+            return real_open(*a, **k)
+
+        monkeypatch.setattr(vio, "open_reader", flaky)
+        par = vio.ChunkedParallelReader(
+            str(path), 64, 48, 24, total_frames=len(frames),
+            batch_size=4, workers=2, chunk_batches=1,
+        )
+        with pytest.raises(RuntimeError, match="parallel decode worker"):
+            for _ in par.iter_batches(4):
+                pass
+        par.close()
+
     def test_writer_roundtrip(self, tmp_path):
         frames = synth_frames(6, 48, 64, seed=1)
         w, used_gpu = vio.open_writer(str(tmp_path / "o.mp4"), 64, 48, 24)
