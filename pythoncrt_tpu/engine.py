@@ -216,6 +216,14 @@ class CRTEngine:
                 self._pallas_bloom2 = True
             except ValueError:
                 pass  # band too wide for the lane halo -> XLA fallback
+        # Persistence scan: one Pallas program walks ALL B frames of an
+        # (8, 128) tile with the carry in registers — the lax.scan pays
+        # XLA per-step dispatch (measured ~3x the HBM traffic at 1080p).
+        # Bit-identical step sequence; assoc_scan keeps its own path.
+        self._pallas_persist = bool(
+            enabled and p.persistence_on and not self.assoc_scan
+            and self.h % 8 == 0 and (self.w * 3) % 128 == 0
+        )
         if self._pallas_warp:
             from .kernels import warp as _kw
 
@@ -558,8 +566,12 @@ class CRTEngine:
     # Batched step with persistence scan
     # ------------------------------------------------------------------
 
-    def _finish(self, imgs, state, first_arr):
-        """Persistence scan over the batch axis + uint8 cast (stage 15)."""
+    def _finish(self, imgs, state, first_arr, allow_pallas: bool = True):
+        """Persistence scan over the batch axis + uint8 cast (stage 15).
+
+        allow_pallas=False keeps the lax.scan path — MultiClipEngine
+        vmaps _finish over the clip axis, and a vmapped pallas_call is
+        a measured pathology (ROADMAP.md round-1 notes)."""
         p = self.params
         if self._warp_emit_scaled:
             # imgs are f32 in [0, 255] straight from the warp kernel
@@ -568,6 +580,13 @@ class CRTEngine:
             out = jnp.clip(jnp.rint(imgs), 0.0, 255.0).astype(jnp.uint8)
             return out, imgs[-1] * np.float32(1.0 / 255.0)
         if p.persistence_on:
+            if self._pallas_persist and allow_pallas:
+                from .kernels import persist as _kp
+
+                outs, new_state = _kp.persistence_scan(
+                    imgs, state, first_arr, p.persistence, self._interpret
+                )
+                return ocolor.to_uint8(outs), new_state
             pp = np.float32(p.persistence)
             om = np.float32(1.0 - p.persistence)
             first = first_arr[0]

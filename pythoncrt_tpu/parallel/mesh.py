@@ -193,7 +193,8 @@ class MultiClipEngine:
             imgs = engine._batch_effects(flat, flat_aux, c)
             imgs = imgs.reshape((cl, b) + imgs.shape[1:])
             return jax.vmap(
-                lambda im, s: engine._finish(im, s, first_arr)
+                lambda im, s: engine._finish(im, s, first_arr,
+                                             allow_pallas=False)
             )(imgs, states)
 
         self._step = jax.jit(

@@ -333,3 +333,51 @@ class TestBloomKernel:
         a, _ = eng_px.process(frames)
         b, _ = eng_ref.process(frames)
         assert np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int)).max() <= 1
+
+
+class TestPersistKernel:
+    @pytest.mark.parametrize("first", [True, False])
+    def test_matches_sequential_scan(self, rng, first):
+        from pythoncrt_tpu.kernels import persist as kp
+
+        import jax.numpy as jnp
+
+        B, H2, W2, p = 6, 16, 128, 0.6
+        imgs = rng.random((B, H2, W2, 3), dtype=np.float32)
+        state = rng.random((H2, W2, 3), dtype=np.float32)
+        outs, ns = kp.persistence_scan(
+            jnp.asarray(imgs), jnp.asarray(state),
+            jnp.full((1,), first, jnp.bool_), p, interpret=True,
+        )
+        s = imgs[0] if first else np.clip(
+            np.float32(p) * state + np.float32(1 - p) * imgs[0], 0, 1)
+        want = [s]
+        for t in range(1, B):
+            s = np.clip(np.float32(p) * s + np.float32(1 - p) * imgs[t], 0, 1)
+            want.append(s)
+        # XLA may fuse the blend into an FMA; numpy's mul+add rounds
+        # separately -> agree to ~1 ulp per step
+        np.testing.assert_allclose(np.asarray(outs), np.stack(want), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ns), want[-1], atol=1e-6)
+
+    def test_engine_uses_kernel_and_matches_scan(self, rng):
+        """Interpret engine with the kernel == pallas-off engine (exact
+        same step sequence) across chained batches."""
+        from test_engine_vs_oracle import identity_params
+
+        from pythoncrt_tpu import CRTEngine
+
+        p = identity_params(persistence=0.7)
+        frames = rng.integers(0, 256, (2, 5, 16, 128, 3), dtype=np.uint8)
+        eng_k = CRTEngine(p, 16, 128, 24.0, pallas="on", interpret=True)
+        eng_s = CRTEngine(p, 16, 128, 24.0, pallas="off")
+        assert eng_k._pallas_persist
+        sk = ss = None
+        for i, batch in enumerate(frames):
+            idx = np.arange(5) + 5 * i
+            a, sk = eng_k.process(batch, idx, sk)
+            b, ss = eng_s.process(batch, idx, ss)
+            # interpret-pallas and fused-XLA round the blend's mul+add
+            # differently by ~1 ulp -> uint8 may flip at exact ties
+            d = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 0.01
