@@ -26,14 +26,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-# Pinned CPU baseline for the headline ratio (fps at 1080p c3): the
-# REAL reference's apply_static_effects + orchestrator drain, measured
-# on this host via scripts/bench_reference.py (best-of-2; its own perf
-# report is recorded in BASELINE.md). Pinning stops vs_baseline from
-# tracking shared-host load weather; the live oracle is still measured
-# and logged, and if it ever beats the pin the larger (more
-# conservative) denominator is used.
-PINNED_CPU_BASELINE_FPS = 1.19
+# Pinned CPU baselines (fps) for the vs_baseline ratios: the REAL
+# reference's apply_static_effects + orchestrator drain, measured on
+# this host via `scripts/bench_reference.py --all` (best-of-2; the c3
+# perf report is recorded in BASELINE.md). Pinning stops vs_baseline
+# from tracking shared-host load weather; the live oracle is still
+# measured and logged, and if it ever beats the pin the larger (more
+# conservative) denominator is used. These are the reference's BEST
+# case — moviepy decode/encode overhead is excluded on every config —
+# so the ratios are conservative.
+PINNED_CPU_BASELINE = {
+    "c1_defaults_480p": 108.26,   # 640x480
+    "c2_retro_720p": 12.52,       # 1280x720
+    "c3_full_1080p": 1.83,        # 1920x1080 (2026-08-17 remeasure; was 1.19)
+    "c4_temporal_1080p": 2.51,    # 1920x1080
+}
+PINNED_CPU_BASELINE_FPS = PINNED_CPU_BASELINE["c3_full_1080p"]
 
 
 def make_frames(b, h, w, seed=0):
@@ -226,7 +234,10 @@ def main():
             if quick:
                 ch, cw = ch // 2, cw // 2
             fps, cs = bench_engine(config_params(name), ch, cw, batch, iters)
-            log(f"{name} {cw}x{ch}: {fps:.1f} fps (compile {cs:.1f}s)")
+            pin = PINNED_CPU_BASELINE.get(name)
+            vs = f", vs_baseline {fps / pin:.0f}x (ref {pin} fps)" \
+                if pin and not quick else ""
+            log(f"{name} {cw}x{ch}: {fps:.1f} fps (compile {cs:.1f}s){vs}")
         log(f"c5 (multi-clip 4K): {bench_c5(quick):.1f} fps")
 
     print(json.dumps({

@@ -124,10 +124,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def params_from_args(a: argparse.Namespace) -> EffectParams:
-    """Assemble EffectParams from flags (preset file first, flags override
-    only at non-default values is NOT the semantics — like the reference,
-    explicit flags always win because presets are applied as the base)."""
+def provided_flags(argv=None) -> set:
+    """Dest names of the options the user explicitly passed: a parallel
+    parse with every default SUPPRESSed leaves only provided options in
+    the namespace. Lets an explicit flag beat a --preset value even when
+    the flag happens to equal the parser default."""
+    sp = build_parser()
+    for act in sp._actions:
+        act.default = argparse.SUPPRESS
+    ns, _ = sp.parse_known_args(argv)
+    return set(vars(ns))
+
+
+def params_from_args(a: argparse.Namespace, provided: set | None = None) -> EffectParams:
+    """Assemble EffectParams from flags. Like the reference, explicit
+    flags always win; the preset is the base. `provided` (from
+    provided_flags) identifies explicitly-passed flags exactly; without
+    it, a flag set to its parser default defers to the preset."""
     base = EffectParams()
     if a.preset:
         try:
@@ -164,7 +177,9 @@ def params_from_args(a: argparse.Namespace) -> EffectParams:
     updates = {}
     for flag, field in flag_map.items():
         v = getattr(a, flag)
-        if not a.preset or v != getattr(defaults, flag):
+        explicit = (flag in provided) if provided is not None \
+            else v != getattr(defaults, flag)
+        if not a.preset or explicit:
             updates[field] = v
     import dataclasses
 
@@ -189,7 +204,7 @@ def main(argv=None) -> int:
         print("input not found", file=sys.stderr)
         return 2
     out = Path(a.output) if a.output else inp.with_name(inp.stem + "_crt.mp4")
-    params = params_from_args(a)
+    params = params_from_args(a, provided_flags(argv))
 
     from .pipeline import process_video
 

@@ -120,8 +120,8 @@ def render_preview_frame(
     new_prev = None
     if stateful:
         if p.persistence_on:
-            if prev_img is not None and prev_img.shape != img.shape:
-                prev_img = None
+            # a resolution change mid-preview resizes the carried state
+            # (persistence_blend matches crt_filter.py:689-693)
             img = oracle.persistence_blend(prev_img, img, p.persistence)
         # the reference's preview returns the current frame as state even
         # at persistence 0 (crt_filter.py:687-694), so toggling

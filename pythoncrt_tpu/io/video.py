@@ -260,10 +260,21 @@ class FFmpegRawReader:
             yield out
 
     def close(self) -> None:
+        """Stop AND reap the decoder child: terminate() alone leaves a
+        zombie per reader, and ChunkedParallelReader opens one reader per
+        chunk, so long batch renders would accumulate defunct ffmpegs."""
         try:
             if self.proc.stdout:
                 self.proc.stdout.close()
+        except Exception:
+            pass
+        try:
             self.proc.terminate()
+            try:
+                self.proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                self.proc.kill()
+                self.proc.wait(timeout=5)
         except Exception:
             pass
 
@@ -304,6 +315,10 @@ class CV2Reader:
                 else:
                     self.cap.release()
                     self.cap = cv2.VideoCapture(str(src))
+                    if not self.cap.isOpened():
+                        # a failed reopen must raise, not let read() report
+                        # EOF and pass a truncated render off as success
+                        raise FileNotFoundError(f"cannot open video: {src}")
                     self._src_i = -1
 
     def read_into(self, out: np.ndarray) -> bool:
@@ -373,7 +388,17 @@ class ChunkedParallelReader:
         self.total = int(total_frames)
         n_chunks = max(1, -(-(self.total - self.start) // self.chunk))
         self.n_chunks = n_chunks
-        self.workers = max(1, min(int(workers), n_chunks))
+        # fps resampling forbids the per-chunk seek-positioned open (an
+        # input-side -ss rebases the -r CFR grid, and the skip-decode
+        # fallback would decode every chunk's full prefix = O(chunks^2)
+        # total work) — degrade to ONE sequential reader shared across
+        # all chunks: same in-order output, O(stream) decode.
+        try:
+            src_fps = probe_clip(src).fps
+        except Exception:
+            src_fps = float(fps)
+        self._sequential = abs(src_fps - float(fps)) > 1e-3
+        self.workers = 1 if self._sequential else max(1, min(int(workers), n_chunks))
         self._qs = [_q.Queue(maxsize=2) for _ in range(self.workers)]
         self._err = None
         self._stop = _t.Event()
@@ -384,16 +409,35 @@ class ChunkedParallelReader:
         for t in self._threads:
             t.start()
 
+    def _put(self, q, item) -> bool:
+        """Blocking put that bails out when the consumer stopped; True if
+        the item was enqueued."""
+        import queue as _q
+
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _q.Full:
+                continue
+        return False
+
     def _worker(self, wid: int) -> None:
         q = self._qs[wid]
+        seq_rdr = None
         try:
+            if self._sequential:
+                seq_rdr = open_reader(self.src, self.out_w, self.out_h,
+                                      self.fps, self.pref, self.pipe_format,
+                                      start_frame=self.start)
             for ci in range(wid, self.n_chunks, self.workers):
                 if self._stop.is_set():
                     break
                 f0 = self.start + ci * self.chunk
                 f1 = min(self.start + (ci + 1) * self.chunk, self.total)
-                rdr = open_reader(self.src, self.out_w, self.out_h, self.fps,
-                                  self.pref, self.pipe_format, start_frame=f0)
+                rdr = seq_rdr if seq_rdr is not None else open_reader(
+                    self.src, self.out_w, self.out_h, self.fps,
+                    self.pref, self.pipe_format, start_frame=f0)
                 try:
                     got = 0
                     buf = np.empty((f1 - f0, self.out_h, self.out_w, 3), np.uint8)
@@ -401,60 +445,69 @@ class ChunkedParallelReader:
                         if not rdr.read_into(buf[got]):
                             break
                         got += 1
-                    if ci == self.n_chunks - 1 and got == f1 - f0:
-                        # total_frames is an estimate (ceil(duration*fps));
-                        # the LAST chunk reads to true EOF so an
-                        # underestimated duration can't silently truncate
-                        # the render vs the sequential reader
-                        extra = []
-                        one = np.empty((self.out_h, self.out_w, 3), np.uint8)
-                        while not self._stop.is_set() and rdr.read_into(one):
-                            extra.append(one.copy())
-                        if extra:
-                            buf = np.concatenate([buf, np.stack(extra)])
-                            got += len(extra)
-                finally:
-                    rdr.close()
-                while not self._stop.is_set():
-                    try:
-                        q.put((ci, buf[:got]), timeout=0.2)
+                    if not self._put(q, (ci, f0, buf[:got])):
                         break
-                    except _q.Full:
-                        continue
-                if got < f1 - f0:
-                    break  # EOF short of expectation: downstream stops here
+                    if got < f1 - f0:
+                        break  # EOF short of expectation: downstream stops here
+                    if ci == self.n_chunks - 1:
+                        # total_frames is an estimate (ceil(duration*fps));
+                        # the LAST chunk reads on to true EOF so an
+                        # underestimated duration can't silently truncate
+                        # the render. Extras stream out in chunk-sized
+                        # continuation items, so a badly wrong estimate
+                        # can't pin unbounded RAM in one queue item.
+                        ext = self.n_chunks
+                        while not self._stop.is_set():
+                            ebuf = np.empty((self.chunk, self.out_h, self.out_w, 3), np.uint8)
+                            egot = 0
+                            while (egot < self.chunk and not self._stop.is_set()
+                                   and rdr.read_into(ebuf[egot])):
+                                egot += 1
+                            ef0 = self.total + (ext - self.n_chunks) * self.chunk
+                            if egot and not self._put(q, (ext, ef0, ebuf[:egot])):
+                                break
+                            if egot < self.chunk:
+                                break
+                            ext += 1
+                finally:
+                    if rdr is not seq_rdr:
+                        rdr.close()
         except Exception as e:
             # a decode failure must surface, not masquerade as EOF:
             # iter_batches re-raises it at this worker's next chunk
             self._err = e
         finally:
+            if seq_rdr is not None:
+                try:
+                    seq_rdr.close()
+                except Exception:
+                    pass
             # never droppable: iter_batches blocks on this queue until a
             # sentinel arrives; bail out only when the consumer stopped
-            while not self._stop.is_set():
-                try:
-                    q.put(None, timeout=0.2)
-                    break
-                except _q.Full:
-                    continue
+            self._put(q, None)
 
     def iter_batches(self, batch_size: int):
         """Yield (abs_frame_index, (<=batch_size, H, W, 3) uint8 view)
         strictly in stream order."""
         assert batch_size == self.batch
-        for ci in range(self.n_chunks):
-            item = self._qs[ci % self.workers].get()
+        ci = 0
+        while True:
+            # continuation items (>= n_chunks: last-chunk EOF extension)
+            # always come from the worker that owned the last chunk
+            qi = (ci if ci < self.n_chunks else self.n_chunks - 1) % self.workers
+            item = self._qs[qi].get()
             if item is None:
                 if self._err is not None:
                     raise RuntimeError("parallel decode worker failed") from self._err
                 return
-            got_ci, frames = item
+            got_ci, f0, frames = item
             assert got_ci == ci, (got_ci, ci)
-            f0 = self.start + ci * self.chunk
             for b0 in range(0, frames.shape[0], self.batch):
                 yield f0 + b0, frames[b0:b0 + self.batch]
-            if frames.shape[0] < min(self.chunk, self.total - f0):
-                return  # early EOF
-        return
+            expect = self.chunk if ci >= self.n_chunks else min(self.chunk, self.total - f0)
+            if frames.shape[0] < expect:
+                return  # early EOF (or the final partial continuation)
+            ci += 1
 
     def iter_frames(self):  # compatibility with the sequential interface
         for _, batch in self.iter_batches(self.batch):
@@ -516,7 +569,10 @@ class FFmpegRawWriter:
 
     def write_frame(self, rgb_u8: np.ndarray) -> None:
         assert self.proc.stdin is not None
-        self.proc.stdin.write(np.ascontiguousarray(rgb_u8).tobytes())
+        # write the buffer directly (no tobytes() copy): a C-contiguous
+        # ndarray's memoryview feeds the pipe at ~6 GB/s target rates
+        a = rgb_u8 if rgb_u8.flags["C_CONTIGUOUS"] else np.ascontiguousarray(rgb_u8)
+        self.proc.stdin.write(a.data)
 
     def close(self) -> None:
         """Flush and reap the encoder; a nonzero ffmpeg exit (or a hang)

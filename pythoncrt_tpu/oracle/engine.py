@@ -409,9 +409,18 @@ def apply_effects(
 
 def persistence_blend(prev: Optional[np.ndarray], cur: np.ndarray, persistence: float) -> np.ndarray:
     """Serial persistence IIR: clip(p*prev + (1-p)*cur, 0, 1)
-    (crt_filter.py:1086-1096). The carry is the *blended* output frame."""
+    (crt_filter.py:1086-1096). The carry is the *blended* output frame.
+
+    A previous state whose shape mismatches (preview resolution changed
+    mid-stream) is bilinearly resized and blended, not dropped — the
+    reference's behavior (crt_filter.py:689-693)."""
     if prev is None or persistence <= 0.0:
         return cur
+    if prev.shape != cur.shape:
+        import cv2
+
+        prev = cv2.resize(prev, (cur.shape[1], cur.shape[0]),
+                          interpolation=cv2.INTER_LINEAR)
     return np.clip(
         np.float32(persistence) * prev + np.float32(1.0 - persistence) * cur, 0.0, 1.0
     ).astype(np.float32)

@@ -10,6 +10,13 @@ pipeline-only imports, which the effect chain never touches, so the
 numbers below are the reference's own code, byte for byte.
 
 Usage: python scripts/bench_reference.py [--frames N] [--size WxH]
+       python scripts/bench_reference.py --all   # configs c1-c4
+
+Caveat (recorded in BASELINE.md): these are the reference's BEST case —
+its moviepy decode/encode overhead is not included, only the effect
+chain + the orchestrator drain. vs_baseline ratios computed against
+these pins are therefore conservative (the real reference end-to-end
+would be slower).
 """
 
 from __future__ import annotations
@@ -101,6 +108,63 @@ def bench_c3(ref, h: int, w: int, n_frames: int) -> float:
     return fps
 
 
+def bench_config(ref, params, h: int, w: int, n_frames: int) -> float:
+    """Any BASELINE config through the reference's apply_static_effects
+    + orchestrator drain (crt_filter.py:1044-1098), parameters taken
+    from the same EffectParams bench.py uses (no drift possible)."""
+    import cv2
+
+    p = params.clamped()
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+    triad = (ref.make_triad_mask(h, w, strength=p.triad_strength,
+                                 softness_px=p.triad_softness)
+             if p.triad_on else None)
+    vig = ref.make_vignette(h, w, strength=p.vignette_strength) if p.vignette_on else None
+
+    def run(i: int):
+        return ref.apply_static_effects(
+            frames[i % n_frames], p.scanline_strength, triad, p.triad_gamma,
+            p.triad_preserve_luma, p.aberration_px, p.bloom_sigma,
+            p.bloom_strength, p.bloom_threshold, p.noise_strength, vig,
+            p.scanline_period_px, i * p.scanline_speed_px_s / 30.0,
+            p.fast_bloom, p.pixel_size, p.glitch_amp_px,
+            p.glitch_height_frac, time_sec=i / 30.0,
+            brightness=p.brightness, contrast=p.contrast, gamma=p.gamma,
+            saturation=p.saturation, temperature=p.temperature,
+            flicker_strength=p.flicker_strength, flicker_hz=p.flicker_hz,
+            grain_size=p.grain_size, scanline_angle=p.scanline_angle,
+            scanline_thickness=p.scanline_thickness,
+            warp_strength=p.warp_strength,
+        )
+
+    run(0)  # warmup (allocator effects)
+
+    def one_pass() -> float:
+        prev = None
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            img = run(i)
+            # orchestrator drain (crt_filter.py:1086-1098)
+            if prev is not None and p.persistence > 0.0:
+                img = cv2.addWeighted(prev, float(p.persistence), img,
+                                      float(1.0 - p.persistence), 0.0)
+            prev = img
+            ref.cv2.convertScaleAbs(img, alpha=255.0)
+        return n_frames / (time.perf_counter() - t0)
+
+    # best of 2: shared host degrades under external load (BASELINE.md)
+    return max(one_pass(), one_pass())
+
+
+CONFIG_SIZES = {
+    "c1_defaults_480p": (480, 640),
+    "c2_retro_720p": (720, 1280),
+    "c3_full_1080p": (1080, 1920),
+    "c4_temporal_1080p": (1080, 1920),
+}
+
+
 def main() -> None:
     n = 8
     h, w = 1080, 1920
@@ -110,6 +174,16 @@ def main() -> None:
         if a == "--size":
             w, h = (int(x) for x in sys.argv[i + 1].split("x"))
     ref = import_reference()
+    if "--all" in sys.argv:
+        import os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from bench import config_params
+
+        for name, (ch, cw) in CONFIG_SIZES.items():
+            fps = bench_config(ref, config_params(name), ch, cw, n)
+            print(f"reference {name} {cw}x{ch}: {fps:.3f} fps", flush=True)
+        return
     fps = bench_c3(ref, h, w, n)
     print(f"reference apply_static_effects c3 {w}x{h}: {fps:.3f} fps")
 

@@ -1,0 +1,73 @@
+"""Capture an xprof trace of the c3/c4 engine step on the real TPU.
+
+Round-2 left one unexplained perf item (VERDICT r2 weak #2): the
+gaussian-bloom budget (XLA 0.654 ms/f; the bloom2 Pallas kernel 0.82
+vs ~0.2 theoretical). This grabs ground truth: per-fusion device times
+for the full engine step, so optimization targets the measured cost
+structure instead of more blind kernel variants.
+
+Usage: python scripts/profile_c3.py [c3|c4] [--dir /tmp/xprof_c3]
+Then:  python scripts/profile_report.py /tmp/xprof_c3
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from bench import config_params, make_frames  # noqa: E402
+
+
+def main() -> None:
+    cfg = "c3"
+    out_dir = None
+    for i, a in enumerate(sys.argv):
+        if a in ("c3", "c4"):
+            cfg = a
+        if a == "--dir":
+            out_dir = sys.argv[i + 1]
+    out_dir = out_dir or f"/tmp/xprof_{cfg}"
+
+    import jax
+    import jax.numpy as jnp
+
+    from pythoncrt_tpu.engine import CRTEngine
+
+    h, w, batch = 1080, 1920, 32
+    name = "c3_full_1080p" if cfg == "c3" else "c4_temporal_1080p"
+    eng = CRTEngine(config_params(name), h, w, fps=30.0)
+    frames = jax.device_put(make_frames(batch, h, w))
+    frames2 = jax.device_put(make_frames(batch, h, w, seed=1))
+    aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
+    state = eng.init_state()
+    first = jnp.zeros((1,), jnp.bool_)
+    step = eng.jitted_step()
+
+    t0 = time.perf_counter()
+    out, st = step(frames, aux, state, first, eng._c)
+    out.block_until_ready()
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    for _ in range(3):  # warm
+        out, st = step(frames2, aux, st, first, eng._c)
+    out.block_until_ready()
+
+    with jax.profiler.trace(out_dir):
+        for i in range(6):
+            out, st = step(frames if i % 2 else frames2, aux, st, first, eng._c)
+        out.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(6):
+        out, st = step(frames if i % 2 else frames2, aux, st, first, eng._c)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(f"steady-state (untraced): {6 * batch / dt:.1f} fps "
+          f"({1000 * dt / (6 * batch):.3f} ms/f)", flush=True)
+    print(f"trace written to {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,27 @@ def test_apply_crt_effect_stateful(frames_small):
     assert d_blend < d_plain
 
 
+def test_persistence_state_resize_on_mismatch(rng):
+    """A mismatched previous state is bilinearly resized and blended, not
+    dropped (crt_filter.py:689-693) — e.g. preview resolution changed
+    mid-stream."""
+    import cv2
+
+    prev = rng.random((12, 16, 3), dtype=np.float32)
+    cur = rng.random((24, 32, 3), dtype=np.float32)
+    got = oracle.persistence_blend(prev, cur, 0.6)
+    prev_rs = cv2.resize(prev, (32, 24), interpolation=cv2.INTER_LINEAR)
+    want = np.clip(np.float32(0.6) * prev_rs + np.float32(0.4) * cur, 0.0, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # and through the reference-signature preview API
+    out, state = compat.apply_crt_effect(
+        (cur * 255).astype(np.uint8), 0.5, None, 2.2, False, 0,
+        0.0, 0.0, 0.0, 0.0, None,
+        0.6, prev, 2.0, 0.0, False, 1,
+    )
+    assert state.shape == cur.shape and out.dtype == np.uint8
+
+
 def test_barrel_warp_matches_oracle(rng):
     img = rng.random((24, 32, 3), dtype=np.float32)
     got = compat.apply_barrel_warp(img, 0.4)

@@ -133,6 +133,34 @@ class TestIO:
         par.close()
         assert got == len(frames)
 
+    def test_parallel_reader_fps_resample_sequential(self, tiny_clip):
+        """fps resampling forbids per-chunk seeks (CFR-grid rebasing /
+        O(chunks^2) prefix decode): the reader must degrade to ONE
+        sequential decode stream and still match the plain reader."""
+        path, frames = tiny_clip
+        seq = vio.open_reader(str(path), 64, 48, 12)
+        want = np.stack(list(seq.iter_frames()))
+        seq.close()
+        par = vio.ChunkedParallelReader(
+            str(path), 64, 48, 12, total_frames=len(want), batch_size=2,
+            workers=3, chunk_batches=1,
+        )
+        assert par.workers == 1 and par._sequential
+        got = np.concatenate([np.array(b) for _, b in par.iter_batches(2)])
+        par.close()
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.skipif(vio.find_ffmpeg() is None, reason="no ffmpeg binary")
+    def test_ffmpeg_reader_close_reaps_child(self, tiny_clip):
+        """close() mid-stream must reap the decoder (no zombie ffmpeg
+        accumulating across ChunkedParallelReader's per-chunk readers)."""
+        path, _ = tiny_clip
+        r = vio.FFmpegRawReader(str(path), 64, 48, 24)
+        out = np.empty((48, 64, 3), np.uint8)
+        assert r.read_into(out)
+        r.close()
+        assert r.proc.returncode is not None
+
     def test_parallel_reader_surfaces_decode_failure(self, tiny_clip,
                                                      monkeypatch):
         """A worker exception must raise from iter_batches, not end the
@@ -337,6 +365,24 @@ class TestCLI:
             "--warp-strength", "-0.25",
         ])
         assert params_from_args(a2).warp_strength == pytest.approx(-0.25)
+
+    def test_cli_explicit_default_beats_preset(self, tmp_path):
+        """An explicit flag wins over --preset even when its value equals
+        the parser default (provided_flags SUPPRESS-parse)."""
+        from pythoncrt_tpu.cli import build_parser, params_from_args, provided_flags
+        from pythoncrt_tpu.params import save_preset
+
+        save_preset(tmp_path / "p.json", EffectParams(scanline_strength=0.9))
+        argv = ["--input", "x.mp4", "--preset", str(tmp_path / "p.json"),
+                "--scanline-strength", "0.6"]  # 0.6 == parser default
+        a = build_parser().parse_args(argv)
+        p = params_from_args(a, provided_flags(argv))
+        assert p.scanline_strength == pytest.approx(0.6)
+        # unprovided flags still defer to the preset
+        argv2 = ["--input", "x.mp4", "--preset", str(tmp_path / "p.json")]
+        a2 = build_parser().parse_args(argv2)
+        p2 = params_from_args(a2, provided_flags(argv2))
+        assert p2.scanline_strength == pytest.approx(0.9)
 
     def test_docstring_flags_exist_in_parser(self):
         """Every flag advertised in the cli module docstring must exist
