@@ -199,6 +199,26 @@ class CRTEngine:
         # K=384 windows and per-program DMA for taps XLA folds into the
         # elementwise chain). PCRT_BLOOM2_GAUSS=1 opts the gaussian in
         # for A/B on other shapes.
+        # Round-3 gaussian default: the bloom3 stripe kernel (exact fused
+        # blur+composite with VMEM row reuse) replaces the XLA shifted-
+        # slice form, whose two blur fusions re-read the full frame once
+        # per tap (~735 us/f at 1080p, xprof r3). PCRT_NO_BLOOM3=1 (or
+        # PCRT_BLOOM2_GAUSS=1) restores the previous dispatch for A/B.
+        self._pallas_bloom3 = False
+        if (enabled and p.bloom_on and not p.fast_bloom and shape_ok
+                and not self._pallas_bloom
+                and os.environ.get("PCRT_NO_BLOOM3") != "1"
+                and os.environ.get("PCRT_BLOOM2_GAUSS") != "1"):
+            from .kernels import bloom3 as _kb3
+
+            try:
+                self._bloom3_spec = _kb3.build_bloom3_spec(
+                    self.h, self.w, p.bloom_sigma, p.bloom_strength,
+                    p.bloom_threshold,
+                )
+                self._pallas_bloom3 = True
+            except ValueError:
+                pass  # unsupported radius/shape -> XLA fallback
         self._pallas_bloom2 = False
         want2 = p.fast_bloom or os.environ.get("PCRT_BLOOM2_GAUSS") == "1"
         if (enabled and p.bloom_on and shape_ok and want2
@@ -283,7 +303,13 @@ class CRTEngine:
                 self._bloom_taps = taps
 
         if p.triad_on:
-            c["triad"] = jnp.asarray(oracle.triad_mask(h, w, p.triad_strength, p.triad_softness))
+            # The aperture-grille mask is y-invariant (the soften blur is
+            # x-only), so ONE (W, 3) row broadcasts — an (H, W, 3) device
+            # constant would re-cross HBM once per frame inside the mask
+            # fusion (25 MB/frame at 1080p, xprof r3). Same bytes.
+            c["triad"] = jnp.asarray(
+                oracle.triad_mask(1, w, p.triad_strength, p.triad_softness)[0]
+            )
 
         if p.scanlines_on:
             self._sl_omega = np.float32(2.0 * np.pi / max(1e-6, p.scanline_period_px))
@@ -296,15 +322,53 @@ class CRTEngine:
                 )
 
         if p.vignette_on:
-            c["vignette"] = jnp.asarray(oracle.vignette_mask(h, w, p.vignette_strength)[..., None])
+            # Separable form: r2 = ny2[:, None] + nx2[None, :] built
+            # inside the fusion from two vectors — the (H, W) mask
+            # constant cost an 8 MB/frame fusion re-read (xprof r3).
+            # The f32 vector add rounds once where the oracle rounds its
+            # f64 sum once: <= 1 ulp on the mask value, far below the
+            # uint8 budget (suite-asserted).
+            yy = np.arange(h, dtype=np.float64)
+            xx = np.arange(w, dtype=np.float64)
+            cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+            rx, ry = max(1.0, w / 2.0), max(1.0, h / 2.0)
+            ny = (yy - cy) / ry
+            nx = (xx - cx) / rx
+            c["vig_ny2"] = jnp.asarray((ny * ny).astype(np.float32))
+            c["vig_nx2"] = jnp.asarray((nx * nx).astype(np.float32))
+            self._vig_strength = np.float32(p.vignette_strength)
 
         if p.noise_on:
             g = max(1, int(p.grain_size))
             self._grain_hw = (max(1, h // g), max(1, w // g)) if g > 1 else (h, w)
+            self._grain_mx = False
             if g > 1:
                 gh, gw = self._grain_hw
-                c["grain_taps"] = tuple(jnp.asarray(a) for a in
-                                        (*oops.bilinear_taps(gh, h), *oops.bilinear_taps(gw, w)))
+                if os.environ.get("PCRT_GRAIN_GATHER") == "1":
+                    c["grain_taps"] = tuple(jnp.asarray(a) for a in
+                                            (*oops.bilinear_taps(gh, h), *oops.bilinear_taps(gw, w)))
+                else:
+                    # The 2-tap bilinear upsample as two small MXU
+                    # matmuls (rows then cols, same order as the oracle):
+                    # XLA lowers the take-based lerp to row/col gathers
+                    # (fusion barriers; the 0.153 ms/f noise stage is
+                    # mostly these), while R_h @ field @ R_w is two
+                    # dense ops. For grain_size 2 the tap weights
+                    # (0.25/0.75) are exact in bf16, so the default
+                    # TPU matmul precision adds only the field's own
+                    # ~2^-9 input rounding — ~1e-2 LSB after the
+                    # noise_strength/255 scale, far under the 1-LSB
+                    # budget (tests cover the composed engine).
+                    self._grain_mx = True
+                    ylo, yf = oops.bilinear_taps(gh, h)
+                    rh = np.zeros((h, gh), np.float32)
+                    np.add.at(rh, (np.arange(h), ylo), 1.0 - yf)
+                    np.add.at(rh, (np.arange(h), np.minimum(ylo + 1, gh - 1)), yf)
+                    xlo, xf = oops.bilinear_taps(gw, w)
+                    rw = np.zeros((gw, w), np.float32)
+                    np.add.at(rw, (xlo, np.arange(w)), 1.0 - xf)
+                    np.add.at(rw, (np.minimum(xlo + 1, gw - 1), np.arange(w)), xf)
+                    c["grain_rh"], c["grain_rw"] = jnp.asarray(rh), jnp.asarray(rw)
 
         if p.warp_on:
             if self._pallas_warp:
@@ -454,7 +518,9 @@ class CRTEngine:
                 img = jnp.clip(img * sl2[:, :, None], 0.0, 1.0)
 
         if p.vignette_on:  # stage 9
-            img = jnp.clip(img * c["vignette"], 0.0, 1.0)
+            r2 = c["vig_ny2"][:, None] + c["vig_nx2"][None, :]
+            v = 1.0 - self._vig_strength * jnp.clip(r2, 0.0, 1.0)
+            img = jnp.clip(img * v[:, :, None], 0.0, 1.0)
 
         if p.flicker_on:  # stage 10
             img = jnp.clip(img * flicker, 0.0, 1.0)
@@ -469,7 +535,10 @@ class CRTEngine:
             if p.grain_size > 1:
                 # (columns-first upsample measured NEUTRAL at 1080p —
                 # the rows-first oracle order stays for bit-parity)
-                field = oresize.resize_bilinear(field, *c["grain_taps"])
+                if self._grain_mx:
+                    field = (c["grain_rh"] @ field) @ c["grain_rw"]
+                else:
+                    field = oresize.resize_bilinear(field, *c["grain_taps"])
             field = field * np.float32(p.noise_strength / 255.0)
             img = jnp.clip(img + field[:, :, None], 0.0, 1.0)
 
@@ -509,7 +578,11 @@ class CRTEngine:
         p = self.params
         imgs = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
         if p.bloom_on:  # stage 6
-            if self._pallas_bloom2:
+            if self._pallas_bloom3:
+                from .kernels import bloom3 as _kb3
+
+                imgs = _kb3.bloom3_nhwc(imgs, self._bloom3_spec, self._interpret)
+            elif self._pallas_bloom2:
                 from .kernels import bloom2 as _kb2
 
                 imgs = _kb2.bloom2_nhwc(
@@ -583,10 +656,14 @@ class CRTEngine:
             if self._pallas_persist and allow_pallas:
                 from .kernels import persist as _kp
 
+                # emit_u8 folds the uint8 cast into the kernel's output
+                # store (same rint/clip sequence as ocolor.to_uint8) —
+                # one fewer full-batch read+write and a 4x smaller write.
                 outs, new_state = _kp.persistence_scan(
-                    imgs, state, first_arr, p.persistence, self._interpret
+                    imgs, state, first_arr, p.persistence, self._interpret,
+                    emit_u8=True,
                 )
-                return ocolor.to_uint8(outs), new_state
+                return outs, new_state
             pp = np.float32(p.persistence)
             om = np.float32(1.0 - p.persistence)
             first = first_arr[0]

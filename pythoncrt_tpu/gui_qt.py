@@ -706,6 +706,30 @@ def run_app() -> int:
     ):
         pal.setColor(role, QtGui.QColor(*color))
     app.setPalette(pal)
+    # Widget stylesheet covering the reference's styled classes
+    # (crt_filter.py:2319-2345): dark chrome, rounded controls, accent
+    # highlight — same widget coverage, this app's own values.
+    app.setStyleSheet("""
+    QMainWindow { background: #1b1b1e; }
+    QLabel { color: #d4d4d4; }
+    QTabBar::tab { background: #232327; color: #c8c8cc; padding: 7px 12px;
+                   border: 1px solid #303036; border-bottom: none;
+                   border-top-left-radius: 5px; border-top-right-radius: 5px; }
+    QTabBar::tab:selected { background: #2b2b31; color: #e8e8e8; }
+    QTabWidget::pane { border: 1px solid #303036; top: -1px; }
+    QPushButton { color: #e0e0e0; background: #2d2d32; padding: 7px 13px;
+                  border: 1px solid #3c3c44; border-radius: 7px; }
+    QPushButton:hover { background: #36363d; }
+    QPushButton:pressed { background: #222228; }
+    QSlider::groove:horizontal { height: 6px; background: #2d2d32;
+                                 border-radius: 3px; }
+    QSlider::handle:horizontal { background: #007acc; width: 15px;
+                                 margin: -5px 0; border-radius: 7px; }
+    QSpinBox, QDoubleSpinBox, QLineEdit { background: #232327; color: #e0e0e0;
+        border: 1px solid #3c3c44; border-radius: 5px; padding: 4px 6px; }
+    QCheckBox { color: #c8c8cc; }
+    QStatusBar { background: #202024; color: #c8c8cc; }
+    """)
     win = c.CRTWindow()
     win.resize(1280, 760)
     win.show()

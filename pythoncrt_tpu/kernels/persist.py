@@ -14,11 +14,26 @@ clip are the same f32 sequence; only the (associativity-free) spatial
 tiling differs. The stream-head pass-through (first frame of a stream
 is unblended, crt_filter.py:1094-1095) is folded in via the same traced
 flag the engine uses.
+
+Two fusions on top of the plain scan:
+
+- emit_u8: the uint8 cast (clip(rint(x*255)) — cv2.convertScaleAbs
+  semantics, crt_filter.py:696) runs in-register on each blended frame,
+  so the separate epilogue pass (read f32 + write u8 over the whole
+  batch) disappears and the output write is 4x smaller.
+- clip_states: MULTI-CLIP mode. The batch is C independent clips of
+  B/C frames laid out flat; the carry resets to clip c's incoming state
+  at each clip boundary (a static unroll — clip boundaries are known at
+  trace time), and each clip's final carry lands in new_states[c].
+  This replaces MultiClipEngine's vmapped lax.scan (vmapping a
+  pallas_call is a measured pathology; the vmapped scan cost ~18% of
+  c5 wall time, BASELINE.md).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +45,16 @@ TY = 8
 TX = 128
 
 
+def _emit(s):
+    # Mosaic has no f32->u8 cast; hop through i32 (values are exact
+    # integers in [0, 255] after rint+clip, so the detour is lossless
+    # and bit-identical to ocolor.to_uint8).
+    x = jnp.clip(jnp.rint(s * np.float32(255.0)), 0.0, 255.0)
+    return x.astype(jnp.int32).astype(jnp.uint8)
+
+
 def _persist_kernel(first_ref, imgs_ref, state_ref, out_ref, newstate_ref,
-                    *, b: int, pp: float, om: float):
+                    *, b: int, pp: float, om: float, emit_u8: bool):
     # blocks: imgs/out (B, TY, TX); state/newstate (TY, TX); first (1,)
     ppf = np.float32(pp)
     omf = np.float32(om)
@@ -40,45 +63,97 @@ def _persist_kernel(first_ref, imgs_ref, state_ref, out_ref, newstate_ref,
     s = jnp.where(
         first, x0, jnp.clip(ppf * state_ref[...] + omf * x0, 0.0, 1.0)
     )
-    out_ref[0] = s
+    out_ref[0] = _emit(s) if emit_u8 else s
     for t in range(1, b):
         s = jnp.clip(ppf * s + omf * imgs_ref[t], 0.0, 1.0)
-        out_ref[t] = s
+        out_ref[t] = _emit(s) if emit_u8 else s
     newstate_ref[...] = s
 
 
+def _persist_kernel_mc(first_ref, imgs_ref, states_ref, out_ref,
+                       newstates_ref, *, b: int, cl: int, pp: float,
+                       om: float, emit_u8: bool):
+    # blocks: imgs/out (B, TY, TX); states/newstates (C, TY, TX)
+    ppf = np.float32(pp)
+    omf = np.float32(om)
+    first = first_ref[0] != 0
+    s = None
+    for t in range(b):
+        x = imgs_ref[t]
+        if t % cl == 0:  # clip boundary: reset carry to this clip's state
+            if t > 0:
+                newstates_ref[t // cl - 1] = s
+            s = jnp.where(
+                first, x,
+                jnp.clip(ppf * states_ref[t // cl] + omf * x, 0.0, 1.0),
+            )
+        else:
+            s = jnp.clip(ppf * s + omf * x, 0.0, 1.0)
+        out_ref[t] = _emit(s) if emit_u8 else s
+    newstates_ref[b // cl - 1] = s
+
+
 def persistence_scan(imgs: jax.Array, state: jax.Array, first_arr: jax.Array,
-                     persistence: float, interpret: bool = False):
+                     persistence: float, interpret: bool = False,
+                     emit_u8: bool = False,
+                     clip_states: Optional[jax.Array] = None):
     """(B, H, W, C) f32, (H, W, C) f32, (1,) bool -> (outs, new_state).
 
     Channels fold into the lane grid by flattening (W, C) — the blend is
     elementwise, so layout is irrelevant as long as tiles tile the
-    array. Requires (H * W * C) % (TY * TX) == 0 (engines gate)."""
+    array. Requires (H * W * C) % (TY * TX) == 0 (engines gate).
+
+    emit_u8: outs come back uint8 (the engine's to_uint8 fused in).
+    clip_states: (C, H, W, ch) — multi-clip mode; `state` is ignored,
+    the batch is C clips of B/C frames flat, and (outs, new_states
+    (C, H, W, ch)) is returned."""
     b, h = imgs.shape[0], imgs.shape[1]
     rest = int(np.prod(imgs.shape[2:]))
     flat = imgs.reshape(b, h, rest)
-    sflat = state.reshape(h, rest)
     if h % TY or rest % TX:
         raise ValueError(f"persistence kernel needs H%{TY}==0 and "
                          f"(W*C)%{TX}==0, got {imgs.shape}")
     grid = (h // TY, rest // TX)
+    out_dt = jnp.uint8 if emit_u8 else jnp.float32
+    if clip_states is not None:
+        nclips = clip_states.shape[0]
+        if b % nclips:
+            raise ValueError(f"batch {b} not divisible by {nclips} clips")
+        sflat = clip_states.reshape(nclips, h, rest)
+        kern = functools.partial(
+            _persist_kernel_mc, b=b, cl=b // nclips,
+            pp=float(persistence), om=float(1.0 - persistence),
+            emit_u8=emit_u8,
+        )
+        sspec = pl.BlockSpec((nclips, TY, TX), lambda i, j: (0, i, j))
+        sshape = jax.ShapeDtypeStruct(sflat.shape, jnp.float32)
+    else:
+        sflat = state.reshape(h, rest)
+        kern = functools.partial(
+            _persist_kernel, b=b, pp=float(persistence),
+            om=float(1.0 - persistence), emit_u8=emit_u8,
+        )
+        sspec = pl.BlockSpec((TY, TX), lambda i, j: (i, j))
+        sshape = jax.ShapeDtypeStruct(sflat.shape, jnp.float32)
     outs, new_state = pl.pallas_call(
-        functools.partial(_persist_kernel, b=b, pp=float(persistence),
-                          om=float(1.0 - persistence)),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,) int32 first flag
             pl.BlockSpec((b, TY, TX), lambda i, j: (0, i, j)),
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j)),
+            sspec,
         ],
         out_specs=[
             pl.BlockSpec((b, TY, TX), lambda i, j: (0, i, j)),
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j)),
+            sspec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(flat.shape, jnp.float32),
-            jax.ShapeDtypeStruct(sflat.shape, jnp.float32),
+            jax.ShapeDtypeStruct(flat.shape, out_dt),
+            sshape,
         ],
         interpret=interpret,
     )(first_arr.astype(jnp.int32), flat, sflat)
-    return outs.reshape(imgs.shape), new_state.reshape(state.shape)
+    out_shape = imgs.shape
+    if clip_states is not None:
+        return outs.reshape(out_shape), new_state.reshape(clip_states.shape)
+    return outs.reshape(out_shape), new_state.reshape(state.shape)

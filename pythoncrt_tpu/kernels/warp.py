@@ -530,26 +530,34 @@ def warp_planar(
         t.ylrel.reshape(yt, TY, xt, TX).max(axis=(1, 3)),
         t.yrrel.reshape(yt, TY, xt, TX).max(axis=(1, 3)),
     ) + 1
+    # Class ladder 8/16/24/32: at 1080p s=0.15 the tile distribution is
+    # 8% <=8, 67% <=16, 98% <=24, so the finer ladder cuts the summed
+    # window rows (the DMA bytes AND the matmul M) to ~0.85x of the
+    # round-2 16/32 pair. Every rung is even (the int-domain i32 roll
+    # pairs sublanes) and a multiple of the 8-row DMA alignment quantum.
     classes = []
-    small = 16
-    if small < t.byp:
-        sel = need <= small
+    assigned = np.zeros((yt, xt), bool)
+    for byp_c in (8, 16, 24):
+        if byp_c >= t.byp:
+            break
+        sel = (need <= byp_c) & ~assigned
         if sel.any():
-            classes.append((small, sel))
-        if (~sel).any():
-            classes.append((t.byp, ~sel))
-    else:
-        classes.append((t.byp, np.ones((yt, xt), bool)))
+            classes.append((byp_c, sel))
+            assigned |= sel
+    if (~assigned).any():
+        classes.append((t.byp, ~assigned))
 
     # frames per program: amortizes per-program DMA latency and fills
-    # the MXU M dim (measured DMA/overhead-bound at fpp=1)
-    fpp = next(f for f in (8, 4, 2, 1) if b % f == 0)
+    # the MXU M dim (measured DMA/overhead-bound at fpp=1). The round-3
+    # xprof trace put the FIXED per-program cost at ~1.4 us (354 us/f of
+    # pure overhead at fpp=8 across 2025 tiles); fpp=16 halves the
+    # program count at ~6 MB of VMEM scratch (budget ~16 MB).
+    fpp = next(f for f in (16, 8, 4, 2, 1) if b % f == 0)
     by2, wx2, off2 = t.by, t.wx, t.off
     out = None
     for byp_c, sel in classes:
         ia, ja = np.nonzero(sel)
         ntc = ia.shape[0]
-        tidx = (ia * xt + ja).astype(np.int32)
         # index maps receive (grid indices..., *scalar_prefetch_refs);
         # the mask/out block coordinates come from the tile list
         if t.split:

@@ -191,6 +191,19 @@ class MultiClipEngine:
                 lambda x: x.reshape((cl * b,) + x.shape[2:]), aux
             )
             imgs = engine._batch_effects(flat, flat_aux, c)
+            if engine._pallas_persist:
+                # Multi-clip persistence stays on the FLAT batch: one
+                # pallas launch walks all clips' frames with per-clip
+                # carry resets at the (static) clip boundaries and the
+                # uint8 cast fused into the store — replaces the vmapped
+                # per-clip lax.scan (~18% of c5 wall time, BASELINE.md).
+                from ..kernels import persist as _kp
+
+                outs, new_states = _kp.persistence_scan(
+                    imgs, None, first_arr, engine.params.persistence,
+                    engine._interpret, emit_u8=True, clip_states=states,
+                )
+                return outs.reshape((cl, b) + outs.shape[1:]), new_states
             imgs = imgs.reshape((cl, b) + imgs.shape[1:])
             return jax.vmap(
                 lambda im, s: engine._finish(im, s, first_arr,

@@ -67,6 +67,41 @@ def test_warp_two_class_partition(rng):
         assert err < 2e-5, f"two-class err={err}"
 
 
+def test_warp_four_class_partition(rng):
+    """128x256 at s=0.8 engages the full 8/16/24/byp class ladder —
+    three aliased pass-through calls writing disjoint scattered tiles."""
+    H2, W2, S = 128, 256, 0.8
+    tables = kwarp.build_warp_tables(H2, W2, S)
+    yt, xt = H2 // kwarp.TY, W2 // kwarp.TX
+    need = np.maximum(
+        tables.ylrel.reshape(yt, kwarp.TY, xt, kwarp.TX).max(axis=(1, 3)),
+        tables.yrrel.reshape(yt, kwarp.TY, xt, kwarp.TX).max(axis=(1, 3)),
+    ) + 1
+    counts = [(need <= 8).sum(), ((need > 8) & (need <= 16)).sum(),
+              ((need > 16) & (need <= 24)).sum(), (need > 24).sum()]
+    assert all(c > 0 for c in counts), f"config no longer 4-class: {counts}"
+    imgs = rng.random((2, H2, W2, 3), dtype=np.float32)
+    got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
+    map_x, map_y = oracle.barrel_warp_maps(H2, W2, S)
+    for b in range(2):
+        want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        err = np.abs(got[b] - want).max()
+        assert err < 2e-5, f"four-class err={err}"
+
+
+def test_warp_kernel_fpp16_batch(rng):
+    """batch 16 engages fpp=16 (16 frames per program — the grid's
+    frame-group axis collapses to 1); parity must hold frame-for-frame."""
+    H2, W2 = 32, 128
+    tables = kwarp.build_warp_tables(H2, W2, 0.25)
+    imgs = rng.random((16, H2, W2, 3), dtype=np.float32)
+    got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
+    map_x, map_y = oracle.barrel_warp_maps(H2, W2, 0.25)
+    for b in (0, 7, 15):
+        want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        assert np.abs(got[b] - want).max() < 2e-5
+
+
 def test_warp_kernel_fast_mode_tolerance(rng):
     """exact=False (--precision fast): single bf16 pass, error bounded by
     ~2^-8 relative (up to a couple of uint8 LSB) — and masks shrink to
@@ -156,6 +191,72 @@ def test_warp_zero_strength_identityish(rng):
     tables = kwarp.build_warp_tables(H, W, 0.0)
     got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
     np.testing.assert_allclose(got[0], imgs[0], atol=2e-5)
+
+
+class TestBloom3Kernel:
+    """The exact fused gaussian stripe kernel: same f32 op sequence as
+    the engine's XLA path. Tolerance is 1 ulp, not bit-equality: the
+    compiler is free to contract mul+add to FMA differently per fusion
+    — the SAME freedom the existing jitted XLA path has vs the numpy
+    oracle (suite-green for two rounds), so the pre-triad-quantize
+    deviation class is unchanged."""
+
+    @pytest.mark.parametrize("sigma,thr", [(1.2, 0.0), (2.0, 0.4), (0.5, 0.0)])
+    def test_matches_xla_path_exactly(self, rng, sigma, thr):
+        import jax.numpy as jnp
+
+        from pythoncrt_tpu.kernels import bloom3 as kb3
+        from pythoncrt_tpu.ops import blur as oblur
+        from pythoncrt_tpu.oracle import ops as oops
+
+        H2, W2, strength = 24, 128, 0.25
+        imgs = rng.random((2, H2, W2, 3), dtype=np.float32)
+        spec = kb3.build_bloom3_spec(H2, W2, sigma, strength, thr)
+        got = np.asarray(kb3.bloom3_nhwc(jnp.asarray(imgs), spec, interpret=True))
+        k = max(1, int(round(sigma * 3)) * 2 + 1)
+        taps = tuple(float(t) for t in oops.gaussian_kernel_1d(k, sigma))
+        for b in range(2):
+            src = jnp.asarray(imgs[b])
+            if thr > 0.0:
+                thrf = np.float32(min(0.99, max(0.0, thr)))
+                src = jnp.clip((src - thrf) / np.float32(max(1e-6, 1.0 - float(thrf))), 0.0, 1.0)
+            blurred = oblur.gaussian_blur_replicate(src, taps, taps)
+            want = np.asarray(jnp.clip(jnp.asarray(imgs[b]) + np.float32(strength) * blurred, 0.0, 1.0))
+            np.testing.assert_allclose(got[b], want, atol=1.5e-7)
+
+    def test_engine_dispatches_bloom3(self, rng):
+        from test_engine_vs_oracle import identity_params
+
+        from pythoncrt_tpu import CRTEngine
+
+        p = identity_params(bloom_strength=0.3, bloom_sigma=1.2, fast_bloom=False)
+        eng_k = CRTEngine(p, 16, 128, 24.0, pallas="on", interpret=True)
+        assert eng_k._pallas_bloom3
+        eng_x = CRTEngine(p, 16, 128, 24.0, pallas="off")
+        frames = rng.integers(0, 256, (4, 16, 128, 3), dtype=np.uint8)
+        a, _ = eng_k.process(frames)
+        b, _ = eng_x.process(frames)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_engine_bloom3_with_triad_lsb(self, rng):
+        """Through the triad LUT quantize (the step-function stage the
+        bloom feeds): uint8 outputs within 1 LSB, flips rare — the same
+        bound the whole suite holds the engine to vs the oracle."""
+        from test_engine_vs_oracle import identity_params
+
+        from pythoncrt_tpu import CRTEngine
+
+        p = identity_params(bloom_strength=0.3, bloom_sigma=1.2,
+                            fast_bloom=False, triad_strength=0.35,
+                            triad_gamma=2.2)
+        eng_k = CRTEngine(p, 16, 128, 24.0, pallas="on", interpret=True)
+        assert eng_k._pallas_bloom3
+        eng_x = CRTEngine(p, 16, 128, 24.0, pallas="off")
+        frames = rng.integers(0, 256, (4, 16, 128, 3), dtype=np.uint8)
+        a, _ = eng_k.process(frames)
+        b, _ = eng_x.process(frames)
+        d = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
 
 
 class TestBloom2Kernel:
@@ -359,6 +460,51 @@ class TestPersistKernel:
         # separately -> agree to ~1 ulp per step
         np.testing.assert_allclose(np.asarray(outs), np.stack(want), atol=1e-6)
         np.testing.assert_allclose(np.asarray(ns), want[-1], atol=1e-6)
+
+    def test_emit_u8_matches_separate_cast(self, rng):
+        from pythoncrt_tpu.kernels import persist as kp
+        from pythoncrt_tpu.ops import color as ocolor
+
+        import jax.numpy as jnp
+
+        B, H2, W2, p = 6, 16, 128, 0.6
+        imgs = rng.random((B, H2, W2, 3), dtype=np.float32)
+        state = rng.random((H2, W2, 3), dtype=np.float32)
+        f = jnp.full((1,), False, jnp.bool_)
+        o_f32, ns_a = kp.persistence_scan(
+            jnp.asarray(imgs), jnp.asarray(state), f, p, interpret=True)
+        o_u8, ns_b = kp.persistence_scan(
+            jnp.asarray(imgs), jnp.asarray(state), f, p, interpret=True,
+            emit_u8=True)
+        assert o_u8.dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(o_u8), np.asarray(ocolor.to_uint8(o_f32)))
+        np.testing.assert_array_equal(np.asarray(ns_a), np.asarray(ns_b))
+
+    @pytest.mark.parametrize("first", [True, False])
+    def test_multiclip_mode_matches_per_clip_scans(self, rng, first):
+        """clip_states mode == running the single-stream kernel once per
+        clip: carries reset at clip boundaries, finals land per clip."""
+        from pythoncrt_tpu.kernels import persist as kp
+
+        import jax.numpy as jnp
+
+        C, B, H2, W2, p = 3, 4, 16, 128, 0.7
+        imgs = rng.random((C * B, H2, W2, 3), dtype=np.float32)
+        states = rng.random((C, H2, W2, 3), dtype=np.float32)
+        f = jnp.full((1,), first, jnp.bool_)
+        outs, ns = kp.persistence_scan(
+            jnp.asarray(imgs), None, f, p, interpret=True,
+            emit_u8=True, clip_states=jnp.asarray(states))
+        assert outs.dtype == jnp.uint8 and ns.shape == states.shape
+        for ci in range(C):
+            o_c, ns_c = kp.persistence_scan(
+                jnp.asarray(imgs[ci * B:(ci + 1) * B]),
+                jnp.asarray(states[ci]), f, p, interpret=True, emit_u8=True)
+            np.testing.assert_array_equal(
+                np.asarray(outs[ci * B:(ci + 1) * B]), np.asarray(o_c))
+            np.testing.assert_allclose(
+                np.asarray(ns[ci]), np.asarray(ns_c), atol=1e-7)
 
     def test_engine_uses_kernel_and_matches_scan(self, rng):
         """Interpret engine with the kernel == pallas-off engine (exact

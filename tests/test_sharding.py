@@ -115,6 +115,24 @@ class TestClipSharding:
             ref, _ = eng.process(clips[i], np.arange(8), state=None)
             assert u8diff(got[i], ref) <= 1
 
+    def test_multiclip_pallas_persist_flat_batch(self):
+        """The flat-batch multi-clip persistence kernel (per-clip carry
+        resets + fused u8 cast) matches independent per-clip renders
+        under the clip-sharded mesh."""
+        mesh = make_mesh(8, axis="clips")
+        p = EffectParams(persistence=0.5, noise_strength=0.0)
+        eng = CRTEngine(p, 32, 128, FPS, pallas="on", interpret=True)
+        assert eng._pallas_persist
+        clips = np.stack([synth_frames(8, 32, 128, seed=40 + i) for i in range(8)])
+        mc = MultiClipEngine(eng, mesh)
+        o1, states = mc.process(clips[:, :4], np.tile(np.arange(4), (8, 1)))
+        o2, _ = mc.process(clips[:, 4:], np.tile(np.arange(4, 8), (8, 1)),
+                           states=states)
+        got = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+        for i in range(8):
+            ref, _ = eng.process(clips[i], np.arange(8), state=None)
+            assert u8diff(got[i], ref) <= 1
+
     def test_rejects_host_rng(self):
         mesh = make_mesh(8, axis="clips")
         eng = CRTEngine(EffectParams(), H, W, FPS, rng="host")
