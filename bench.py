@@ -140,15 +140,14 @@ def bench_c5(quick=False, iters=3):
     c = max(c, mesh.devices.size)
     eng = CRTEngine(config_params("c4_temporal_1080p"), h, w, fps=30.0)
     mc = MultiClipEngine(eng, mesh)
-    clips = jax.device_put(make_frames(c * b, h, w).reshape(c, b, h, w, 3))
-    idx = np.tile(np.arange(b), (c, 1))
+    # flat clip-major batch — the round-3 wrapper contract (no in-jit
+    # reshapes around the Pallas calls)
+    clips = jax.device_put(make_frames(c * b, h, w))
     red = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
     # pre-stage aux/states on device: this rig's relay has ~30 ms
     # per-transfer latency, which would otherwise dominate the loop
-    aux = jax.tree.map(
-        lambda *xs: jax.device_put(jnp.stack(xs)),
-        *[eng.make_aux(idx[i]) for i in range(c)],
-    )
+    aux = jax.tree.map(jax.device_put,
+                       eng.make_aux(np.tile(np.arange(b), c)))
     states = jnp.zeros((c, h, w, 3), jnp.float32)
     first = jnp.full((1,), True, jnp.bool_)
     later = jnp.full((1,), False, jnp.bool_)

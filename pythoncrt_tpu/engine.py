@@ -205,24 +205,35 @@ class CRTEngine:
         # per tap (~735 us/f at 1080p, xprof r3). PCRT_NO_BLOOM3=1 (or
         # PCRT_BLOOM2_GAUSS=1) restores the previous dispatch for A/B.
         self._pallas_bloom3 = False
-        if (enabled and p.bloom_on and not p.fast_bloom and shape_ok
+        self._bloom3_fast = False
+        if (enabled and p.bloom_on and shape_ok
                 and not self._pallas_bloom
                 and os.environ.get("PCRT_NO_BLOOM3") != "1"
-                and os.environ.get("PCRT_BLOOM2_GAUSS") != "1"):
+                and not (p.fast_bloom and os.environ.get("PCRT_BLOOM2_FAST") == "1")
+                and not (not p.fast_bloom and os.environ.get("PCRT_BLOOM2_GAUSS") == "1")):
             from .kernels import bloom3 as _kb3
 
             try:
-                self._bloom3_spec = _kb3.build_bloom3_spec(
-                    self.h, self.w, p.bloom_sigma, p.bloom_strength,
-                    p.bloom_threshold,
-                )
+                if p.fast_bloom:
+                    # replaces bloom2's banded-matmul fast bloom (0.83
+                    # ms/f in-engine): the half-res down+up is 2-tap
+                    # arithmetic, not a matmul problem
+                    self._bloom3_spec = _kb3.build_bloom3_fast_spec(
+                        self.h, self.w, p.bloom_strength, p.bloom_threshold,
+                    )
+                    self._bloom3_fast = True
+                else:
+                    self._bloom3_spec = _kb3.build_bloom3_spec(
+                        self.h, self.w, p.bloom_sigma, p.bloom_strength,
+                        p.bloom_threshold,
+                    )
                 self._pallas_bloom3 = True
             except ValueError:
-                pass  # unsupported radius/shape -> XLA fallback
+                pass  # unsupported radius/shape -> bloom2/XLA fallback
         self._pallas_bloom2 = False
         want2 = p.fast_bloom or os.environ.get("PCRT_BLOOM2_GAUSS") == "1"
         if (enabled and p.bloom_on and shape_ok and want2
-                and not self._pallas_bloom
+                and not self._pallas_bloom and not self._pallas_bloom3
                 and os.environ.get("PCRT_NO_BLOOM2") != "1"):
             from .kernels import bloom2 as _kb2
 
@@ -581,7 +592,8 @@ class CRTEngine:
             if self._pallas_bloom3:
                 from .kernels import bloom3 as _kb3
 
-                imgs = _kb3.bloom3_nhwc(imgs, self._bloom3_spec, self._interpret)
+                fn = _kb3.bloom3_fast_nhwc if self._bloom3_fast else _kb3.bloom3_nhwc
+                imgs = fn(imgs, self._bloom3_spec, self._interpret)
             elif self._pallas_bloom2:
                 from .kernels import bloom2 as _kb2
 
@@ -604,6 +616,11 @@ class CRTEngine:
                     imgs, self._warp_tables, c["warp_m"], self._interpret,
                     self._exact, int_domain=True,
                     emit_scaled=self._warp_emit_scaled,
+                    # timing-probe modes (dma/noop: WRONG output) for the
+                    # engine-level ablation — the only trusted instrument
+                    # on this rig (standalone kernel timings are relay
+                    # artifacts; see ROADMAP.md round 3)
+                    debug=os.environ.get("PCRT_WARP_DEBUG", ""),
                 )
             else:
                 imgs = jax.vmap(
@@ -659,10 +676,20 @@ class CRTEngine:
                 # emit_u8 folds the uint8 cast into the kernel's output
                 # store (same rint/clip sequence as ocolor.to_uint8) —
                 # one fewer full-batch read+write and a 4x smaller write.
-                outs, new_state = _kp.persistence_scan(
-                    imgs, state, first_arr, p.persistence, self._interpret,
+                # The PLANAR (B, 3H, W) flatten matches the physical
+                # layout XLA gives the NHWC intermediates (W-minor), so
+                # the custom call's default-layout constraint is met by
+                # a bitcast; the (B, H, W*3) flatten forced a full-batch
+                # relayout copy (~310 us/f at 4K, round-3 c5 trace).
+                b, h, w = imgs.shape[0], self.h, self.w
+                pi = jnp.transpose(imgs, (0, 3, 1, 2)).reshape(b, 3 * h, w)
+                ps = jnp.transpose(state, (2, 0, 1)).reshape(3 * h, w)
+                outs, ns = _kp.persistence_scan(
+                    pi, ps, first_arr, p.persistence, self._interpret,
                     emit_u8=True,
                 )
+                outs = jnp.transpose(outs.reshape(b, 3, h, w), (0, 2, 3, 1))
+                new_state = jnp.transpose(ns.reshape(3, h, w), (1, 2, 0))
                 return outs, new_state
             pp = np.float32(p.persistence)
             om = np.float32(1.0 - p.persistence)

@@ -41,8 +41,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TY = 8
+TY = 8  # minimum tile (f32 sublane/lane quanta)
 TX = 128
+
+
+def _pick_tiles(b: int, h: int, rest: int):
+    """Largest (ty, tx) tile dividing (h, rest): the per-program cost is
+    dominated by launch overhead (the kernel walks all B frames of one
+    tile), so at 4K the minimum (8, 128) tile meant ~24k programs per
+    batch. Bounded so the in/out blocks stay ~<=4 MB of VMEM."""
+    ty = next(t for t in (48, 32, 24, 16, 8) if h % t == 0)
+    tx = next(t for t in (1536, 1024, 768, 512, 384, 256, 128)
+              if rest % t == 0 and b * ty * t * 4 <= (4 << 20))
+    return ty, tx
 
 
 def _emit(s):
@@ -113,7 +124,8 @@ def persistence_scan(imgs: jax.Array, state: jax.Array, first_arr: jax.Array,
     if h % TY or rest % TX:
         raise ValueError(f"persistence kernel needs H%{TY}==0 and "
                          f"(W*C)%{TX}==0, got {imgs.shape}")
-    grid = (h // TY, rest // TX)
+    ty, tx = _pick_tiles(b, h, rest)
+    grid = (h // ty, rest // tx)
     out_dt = jnp.uint8 if emit_u8 else jnp.float32
     if clip_states is not None:
         nclips = clip_states.shape[0]
@@ -125,7 +137,7 @@ def persistence_scan(imgs: jax.Array, state: jax.Array, first_arr: jax.Array,
             pp=float(persistence), om=float(1.0 - persistence),
             emit_u8=emit_u8,
         )
-        sspec = pl.BlockSpec((nclips, TY, TX), lambda i, j: (0, i, j))
+        sspec = pl.BlockSpec((nclips, ty, tx), lambda i, j: (0, i, j))
         sshape = jax.ShapeDtypeStruct(sflat.shape, jnp.float32)
     else:
         sflat = state.reshape(h, rest)
@@ -133,18 +145,18 @@ def persistence_scan(imgs: jax.Array, state: jax.Array, first_arr: jax.Array,
             _persist_kernel, b=b, pp=float(persistence),
             om=float(1.0 - persistence), emit_u8=emit_u8,
         )
-        sspec = pl.BlockSpec((TY, TX), lambda i, j: (i, j))
+        sspec = pl.BlockSpec((ty, tx), lambda i, j: (i, j))
         sshape = jax.ShapeDtypeStruct(sflat.shape, jnp.float32)
     outs, new_state = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,) int32 first flag
-            pl.BlockSpec((b, TY, TX), lambda i, j: (0, i, j)),
+            pl.BlockSpec((b, ty, tx), lambda i, j: (0, i, j)),
             sspec,
         ],
         out_specs=[
-            pl.BlockSpec((b, TY, TX), lambda i, j: (0, i, j)),
+            pl.BlockSpec((b, ty, tx), lambda i, j: (0, i, j)),
             sspec,
         ],
         out_shape=[

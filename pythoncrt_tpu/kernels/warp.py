@@ -630,6 +630,7 @@ def warp_nhwc(
     exact: bool = True,
     int_domain: bool = False,
     emit_scaled: bool = False,
+    debug: str = "",
 ) -> jax.Array:
     """(B, H, W, 3) f32 in [0, 1] -> warped f32, via the planar kernel.
 
@@ -653,7 +654,8 @@ def warp_nhwc(
         return jnp.transpose(out, (0, 2, 3, 1))
     ints = jnp.rint(imgs * np.float32(255.0)).astype(jnp.bfloat16)
     planar = jnp.transpose(ints, (0, 3, 1, 2))
-    out = warp_planar(planar, tables, masks, interpret, exact, int_domain=True)
+    out = warp_planar(planar, tables, masks, interpret, exact, int_domain=True,
+                      debug=debug)
     out = jnp.transpose(out, (0, 2, 3, 1))
     if emit_scaled:
         return out

@@ -180,51 +180,67 @@ class MultiClipEngine:
             raise ValueError("MultiClipEngine supports rng='native' only")
         axis = CLIP_AXIS
 
-        def per_shard(frames, aux, states, first_arr, c):
-            # Clips are independent, so the effects see one FLAT batch
-            # (Pallas kernels get a flat grid — vmapping a pallas_call
-            # over clips measured ~1000x slower); only the cheap
-            # persistence scan runs per clip.
-            cl, b = frames.shape[0], frames.shape[1]
-            flat = frames.reshape((cl * b,) + frames.shape[2:])
-            flat_aux = jax.tree.map(
-                lambda x: x.reshape((cl * b,) + x.shape[2:]), aux
-            )
-            imgs = engine._batch_effects(flat, flat_aux, c)
+        def per_shard(flat, aux, states, first_arr, c):
+            # Frames arrive FLAT and clip-major (C*B, H, W, 3): sharding
+            # the leading axis hands each device exactly its clips'
+            # frames, and — crucially — the jitted body performs NO
+            # reshapes around the Pallas custom-calls. The round-3 c5
+            # trace showed the old (C, B, ...) shapes + in-jit reshape
+            # costing ~1.2 ms/frame of layout copies at 4K (the custom
+            # calls pin default layouts; XLA inserted copies on both
+            # sides). Clips are independent, so the effects see one flat
+            # batch; only the persistence carry is clip-aware.
+            imgs = engine._batch_effects(flat, aux, c)
+            cl = states.shape[0]
+            b = flat.shape[0] // cl
             if engine._pallas_persist:
-                # Multi-clip persistence stays on the FLAT batch: one
-                # pallas launch walks all clips' frames with per-clip
-                # carry resets at the (static) clip boundaries and the
-                # uint8 cast fused into the store — replaces the vmapped
-                # per-clip lax.scan (~18% of c5 wall time, BASELINE.md).
+                # One pallas launch walks all clips' frames with
+                # per-clip carry resets at the (static) clip boundaries
+                # and the uint8 cast fused into the store. Planar
+                # (B, 3H, W) flatten: bitcast against the W-minor
+                # physical layout (engine._finish has the full story).
                 from ..kernels import persist as _kp
 
-                outs, new_states = _kp.persistence_scan(
-                    imgs, None, first_arr, engine.params.persistence,
-                    engine._interpret, emit_u8=True, clip_states=states,
+                bb, hh, ww = imgs.shape[0], engine.h, engine.w
+                pi = jnp.transpose(imgs, (0, 3, 1, 2)).reshape(bb, 3 * hh, ww)
+                pst = jnp.transpose(states, (0, 3, 1, 2)).reshape(cl, 3 * hh, ww)
+                outs, ns = _kp.persistence_scan(
+                    pi, None, first_arr, engine.params.persistence,
+                    engine._interpret, emit_u8=True, clip_states=pst,
                 )
-                return outs.reshape((cl, b) + outs.shape[1:]), new_states
+                outs = jnp.transpose(outs.reshape(bb, 3, hh, ww), (0, 2, 3, 1))
+                new_states = jnp.transpose(ns.reshape(cl, 3, hh, ww), (0, 2, 3, 1))
+                return outs, new_states
             imgs = imgs.reshape((cl, b) + imgs.shape[1:])
-            return jax.vmap(
+            outs, new_states = jax.vmap(
                 lambda im, s: engine._finish(im, s, first_arr,
                                              allow_pallas=False)
             )(imgs, states)
+            return outs.reshape((cl * b,) + outs.shape[2:]), new_states
 
-        self._step = jax.jit(
-            jax.shard_map(
-                per_shard,
-                mesh=self.mesh,
-                in_specs=(
-                    P(axis),
-                    FrameAux(P(axis), P(axis), P(axis), None, None, None),
-                    P(axis),
-                    P(),  # first flag (replicated)
-                    jax.tree.map(lambda _: P(), engine._c),
-                ),
-                out_specs=(P(axis), P(axis)),
-                check_vma=False,
+        if self.ndev == 1:
+            # single visible device: shard_map's full-to-shard boundary
+            # custom-calls pin operand layouts and provoke full-frame
+            # relayout copies around the Pallas calls (round-3 c5 trace:
+            # ~0.9 ms/frame at 4K). The body IS the whole batch — jit it
+            # directly; multi-device meshes keep the sharded wrapper.
+            self._step = jax.jit(per_shard)
+        else:
+            self._step = jax.jit(
+                jax.shard_map(
+                    per_shard,
+                    mesh=self.mesh,
+                    in_specs=(
+                        P(axis),  # flat frames, clip-major
+                        FrameAux(P(axis), P(axis), P(axis), None, None, None),
+                        P(axis),  # per-clip states
+                        P(),  # first flag (replicated)
+                        jax.tree.map(lambda _: P(), engine._c),
+                    ),
+                    out_specs=(P(axis), P(axis)),
+                    check_vma=False,
+                )
             )
-        )
 
     def process(self, frames_u8, frame_indices, states=None):
         frames_u8 = jnp.asarray(frames_u8)
@@ -232,8 +248,10 @@ class MultiClipEngine:
         if c % self.ndev != 0:
             raise ValueError(f"clip count {c} not divisible by mesh size {self.ndev}")
         idx = np.asarray(frame_indices)
-        aux_rows = [self.engine.make_aux(idx[i]) for i in range(c)]
-        aux = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_rows)
+        # flatten OUTSIDE the jitted step (clip-major: shard boundaries
+        # coincide with clip boundaries)
+        flat = frames_u8.reshape((c * b,) + frames_u8.shape[2:])
+        aux = self.engine.make_aux(idx.reshape(-1))
         first = states is None
         if first:
             # stream start: each clip's frame 0 passes through unblended
@@ -241,4 +259,5 @@ class MultiClipEngine:
             # _finish exactly as in ShardedCRTEngine/CRTEngine.
             states = jnp.zeros((c, self.engine.h, self.engine.w, 3), jnp.float32)
         first_arr = jnp.full((1,), first, jnp.bool_)
-        return self._step(frames_u8, aux, states, first_arr, self.engine._c)
+        outs, new_states = self._step(flat, aux, states, first_arr, self.engine._c)
+        return outs.reshape((c, b) + outs.shape[1:]), new_states

@@ -1,15 +1,15 @@
 """Probe what bounds the warp kernel's window DMA (~100 GB/s effective).
 
-Round-3 xprof: the four warp class calls cost 567 us/f at 1080p, and
-per-program arithmetic says the window DMA runs at ~100 GB/s — 1/8 of
-HBM. Hypotheses: (a) 512-byte contiguous runs (wxp=256 bf16 slices of
-W=1920 rows), (b) descriptor issue rate (fpp*3*byp strided rows per
-program), (c) something else. This measures, in ONE process (axon
-relay rule: only relative comparisons between later variants are
-trustworthy), the full kernel vs its dma-only and noop debug variants
-at fpp in {8, 16}.
+OUTCOME (round 3): standalone pallas timings are UNUSABLE on this rig
+in every harness variant tried — per-iteration scalar readbacks add a
+~30-60 ms relay RTT each, and readback-free loops get their identical
+pending executions deduped/elided by the relay (measured 50K-1.8M
+"fps"). bench_engine survives for reasons unknown (its numbers track
+code changes and match xprof). The question this script asked is now
+answered by the ENGINE-level debug ablation instead:
+PCRT_WARP_DEBUG=dma|noop through bench_engine (see ROADMAP.md).
 
-Usage: python scripts/probe_warp_dma.py
+Kept for the record of what NOT to do; do not trust its output.
 """
 
 from __future__ import annotations
@@ -22,15 +22,20 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def timeit(fn, *args, iters=8):
-    out = fn(*args)
-    out.block_until_ready()
-    out = fn(*args)
-    out.block_until_ready()
+def timeit(fn, a, b, masks, iters=8):
+    """Axon-relay rules (BASELINE.md): alternate two inputs (same-input
+    calls get deduped) and force a scalar readback per iteration."""
+    import jax.numpy as jnp
+
+    red = None
+    for x in (a, b, a):
+        red = fn(x, masks)
+        red.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
+    for i in range(iters):
+        red = fn(a if i % 2 else b, masks)
+    red.block_until_ready()  # one block at the end (bench_engine pattern:
+    # a per-iteration readback costs a ~30-60 ms relay RTT each)
     return (time.perf_counter() - t0) / iters
 
 
@@ -47,14 +52,17 @@ def main() -> None:
                                        split=t.split)
     )(t.dxl, t.dxr, t.wx0, t.wx1, t.ylrel, t.yrrel, t.wy0, t.wy1)
     rng = np.random.default_rng(0)
-    imgs = jax.device_put(
-        jnp.asarray(rng.integers(0, 256, (b, 3, h, w)).astype(np.float32)
-                    ).astype(jnp.bfloat16))
+    mk = lambda seed: jax.device_put(
+        jnp.asarray(np.random.default_rng(seed).integers(0, 256, (b, 3, h, w))
+                    .astype(np.float32)).astype(jnp.bfloat16))
+    ia, ib = mk(0), mk(1)
 
     def run(debug):
-        f = jax.jit(lambda x: kw.warp_planar(
-            x, t, masks, False, True, int_domain=True, debug=debug))
-        return timeit(f, imgs)
+        # masks as jit ARGUMENTS (closure capture would embed ~2 GB of
+        # HLO literals — the engine invariant, CLAUDE.md)
+        f = jax.jit(lambda x, m: kw.warp_planar(
+            x, t, m, False, True, int_domain=True, debug=debug))
+        return timeit(f, ia, ib, masks)
 
     # throwaway first measurement (relay artifact eats the first number)
     run("noop")

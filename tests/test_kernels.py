@@ -201,15 +201,20 @@ class TestBloom3Kernel:
     oracle (suite-green for two rounds), so the pre-triad-quantize
     deviation class is unchanged."""
 
-    @pytest.mark.parametrize("sigma,thr", [(1.2, 0.0), (2.0, 0.4), (0.5, 0.0)])
-    def test_matches_xla_path_exactly(self, rng, sigma, thr):
+    @pytest.mark.parametrize("sigma,thr,H2", [
+        (1.2, 0.0, 24),   # ty=8 stripes
+        (2.0, 0.4, 24),
+        (0.5, 0.0, 24),
+        (1.2, 0.0, 48),   # ty=24 stripes (the 1080p configuration)
+    ])
+    def test_matches_xla_path_exactly(self, rng, sigma, thr, H2):
         import jax.numpy as jnp
 
         from pythoncrt_tpu.kernels import bloom3 as kb3
         from pythoncrt_tpu.ops import blur as oblur
         from pythoncrt_tpu.oracle import ops as oops
 
-        H2, W2, strength = 24, 128, 0.25
+        W2, strength = 128, 0.25
         imgs = rng.random((2, H2, W2, 3), dtype=np.float32)
         spec = kb3.build_bloom3_spec(H2, W2, sigma, strength, thr)
         got = np.asarray(kb3.bloom3_nhwc(jnp.asarray(imgs), spec, interpret=True))
@@ -224,19 +229,66 @@ class TestBloom3Kernel:
             want = np.asarray(jnp.clip(jnp.asarray(imgs[b]) + np.float32(strength) * blurred, 0.0, 1.0))
             np.testing.assert_allclose(got[b], want, atol=1.5e-7)
 
+    @pytest.mark.parametrize("thr,H2", [(0.0, 24), (0.4, 24), (0.0, 48), (0.0, 32)])
+    def test_fast_variant_matches_xla_path(self, rng, thr, H2):
+        """The fast-bloom stripe kernel vs the engine's XLA half-res
+        down+up path — same four resize roundings, 1-ulp FMA class."""
+        import jax.numpy as jnp
+
+        from pythoncrt_tpu.kernels import bloom3 as kb3
+        from pythoncrt_tpu.ops import resize as oresize
+        from pythoncrt_tpu.oracle import ops as oops
+
+        W2, strength = 256, 0.25
+        imgs = rng.random((2, H2, W2, 3), dtype=np.float32)
+        spec = kb3.build_bloom3_fast_spec(H2, W2, strength, thr)
+        got = np.asarray(kb3.bloom3_fast_nhwc(jnp.asarray(imgs), spec,
+                                              interpret=True))
+        h2, w2 = H2 // 2, W2 // 2
+        down = tuple(jnp.asarray(a) for a in
+                     (*oops.bilinear_taps(H2, h2), *oops.bilinear_taps(W2, w2)))
+        up = tuple(jnp.asarray(a) for a in
+                   (*oops.bilinear_taps(h2, H2), *oops.bilinear_taps(w2, W2)))
+        for b in range(2):
+            src = jnp.asarray(imgs[b])
+            if thr > 0.0:
+                thrf = np.float32(min(0.99, max(0.0, thr)))
+                src = jnp.clip((src - thrf) / np.float32(max(1e-6, 1.0 - float(thrf))), 0.0, 1.0)
+            ds = oresize.resize_bilinear(src, *down)
+            blurred = oresize.resize_bilinear(ds, *up)
+            want = np.asarray(jnp.clip(jnp.asarray(imgs[b]) + np.float32(strength) * blurred, 0.0, 1.0))
+            np.testing.assert_allclose(got[b], want, atol=1.5e-7)
+
     def test_engine_dispatches_bloom3(self, rng):
         from test_engine_vs_oracle import identity_params
 
         from pythoncrt_tpu import CRTEngine
 
         p = identity_params(bloom_strength=0.3, bloom_sigma=1.2, fast_bloom=False)
-        eng_k = CRTEngine(p, 16, 128, 24.0, pallas="on", interpret=True)
+        eng_k = CRTEngine(p, 24, 128, 24.0, pallas="on", interpret=True)
         assert eng_k._pallas_bloom3
-        eng_x = CRTEngine(p, 16, 128, 24.0, pallas="off")
-        frames = rng.integers(0, 256, (4, 16, 128, 3), dtype=np.uint8)
+        eng_x = CRTEngine(p, 24, 128, 24.0, pallas="off")
+        frames = rng.integers(0, 256, (4, 24, 128, 3), dtype=np.uint8)
         a, _ = eng_k.process(frames)
         b, _ = eng_x.process(frames)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_engine_dispatches_fast_variant(self, rng):
+        """fast_bloom=True must route to bloom3_fast (NOT the gaussian
+        kernel) and match the pallas-off engine."""
+        from test_engine_vs_oracle import identity_params
+
+        from pythoncrt_tpu import CRTEngine
+
+        p = identity_params(bloom_strength=0.3, fast_bloom=True)
+        eng_k = CRTEngine(p, 24, 128, 24.0, pallas="on", interpret=True)
+        assert eng_k._pallas_bloom3 and eng_k._bloom3_fast
+        eng_x = CRTEngine(p, 24, 128, 24.0, pallas="off")
+        frames = rng.integers(0, 256, (4, 24, 128, 3), dtype=np.uint8)
+        a, _ = eng_k.process(frames)
+        b, _ = eng_x.process(frames)
+        d = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
 
     def test_engine_bloom3_with_triad_lsb(self, rng):
         """Through the triad LUT quantize (the step-function stage the
@@ -249,10 +301,10 @@ class TestBloom3Kernel:
         p = identity_params(bloom_strength=0.3, bloom_sigma=1.2,
                             fast_bloom=False, triad_strength=0.35,
                             triad_gamma=2.2)
-        eng_k = CRTEngine(p, 16, 128, 24.0, pallas="on", interpret=True)
+        eng_k = CRTEngine(p, 24, 128, 24.0, pallas="on", interpret=True)
         assert eng_k._pallas_bloom3
-        eng_x = CRTEngine(p, 16, 128, 24.0, pallas="off")
-        frames = rng.integers(0, 256, (4, 16, 128, 3), dtype=np.uint8)
+        eng_x = CRTEngine(p, 24, 128, 24.0, pallas="off")
+        frames = rng.integers(0, 256, (4, 24, 128, 3), dtype=np.uint8)
         a, _ = eng_k.process(frames)
         b, _ = eng_x.process(frames)
         d = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
