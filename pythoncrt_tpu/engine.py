@@ -390,10 +390,21 @@ class CRTEngine:
                 # (H, W) tables cross the bus) and passed as jit args so
                 # they live in HBM across steps.
                 t = self._warp_tables
+                # Compensated bf16 mask rounding: ONE matmul pass in
+                # exact mode (worst case ~0.75 uint8 LSB pre-rint, still
+                # within the <=1 LSB contract — bound and validation in
+                # build_warp_masks / PARITY.md; engine suite green at
+                # <=1 LSB with it forced). Saved 86 us/f at 1080p.
+                # PCRT_WARP_2PASS=1 restores the 2^-17 two-pass split.
+                self._warp_1pass = (
+                    self._exact and os.environ.get("PCRT_WARP_2PASS") != "1"
+                )
                 c["warp_m"] = jax.jit(
                     functools.partial(_kw.build_warp_masks, wxd=t.wxd,
-                                      byp=t.byp, exact=self._exact,
-                                      split=t.split)
+                                      byp=t.byp,
+                                      exact=self._exact and not self._warp_1pass,
+                                      split=t.split,
+                                      compensated=self._warp_1pass)
                 )(t.dxl, t.dxr, t.wx0, t.wx1, t.ylrel, t.yrrel, t.wy0, t.wy1)
             else:
                 map_x, map_y = oracle.barrel_warp_maps(h, w, p.warp_strength)
@@ -614,7 +625,8 @@ class CRTEngine:
 
                 imgs = _kw.warp_nhwc(
                     imgs, self._warp_tables, c["warp_m"], self._interpret,
-                    self._exact, int_domain=True,
+                    self._exact and not getattr(self, "_warp_1pass", False),
+                    int_domain=True,
                     emit_scaled=self._warp_emit_scaled,
                     # timing-probe modes (dma/noop: WRONG output) for the
                     # engine-level ablation — the only trusted instrument

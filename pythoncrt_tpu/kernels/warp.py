@@ -213,7 +213,8 @@ def build_warp_tables(h: int, w: int, strength: float, *,
 
 def build_warp_masks(dxl, dxr, wx0, wx1, ylrel=None, yrrel=None,
                      wy0=None, wy1=None, *, wxd: int, byp: int = 0,
-                     exact: bool = True, split: bool = False):
+                     exact: bool = True, split: bool = False,
+                     compensated: bool = False):
     """One-hot bilinear x-weight masks per (tile, tile-row), as the
     hi/lo bf16 pair the kernel's 3-pass split consumes directly — plus,
     when the y tables are given, the combined one-hot y-weight mask
@@ -243,6 +244,19 @@ def build_warp_masks(dxl, dxr, wx0, wx1, ylrel=None, yrrel=None,
     """
     h, w = dxl.shape
     yt, xt = h // TY, w // TX
+
+    if compensated:
+        # 1-pass exact-contract mode (int domain): round w0 to bf16 and
+        # set w1 = 1 - f32(bf16(w0)) wherever BOTH taps are valid (the
+        # weights then sum to a bf16-representable... see warp_nhwc's
+        # bound: per-output error <= (2^-9 + 2^-10) * 255 ~ 0.75 uint8
+        # LSB worst case, < 1 before the output rint — the second matmul
+        # pass and half the mask HBM disappear. Invalid-tap positions
+        # keep their zeroed weights (single-term error <= 0.5 LSB).
+        w0h = jnp.asarray(wx0).astype(jnp.bfloat16).astype(jnp.float32)
+        both = (jnp.asarray(wx0) > 0) & (jnp.asarray(wx1) > 0)
+        wx0 = w0h
+        wx1 = jnp.where(both, np.float32(1.0) - w0h, jnp.asarray(wx1))
 
     my = ()
     if ylrel is not None:
@@ -326,7 +340,7 @@ def _warp_kernel(
     byp: int, wxp: int, d: int, wxd: int, pad: int, exact: bool,
     split: bool, row_align: int = 8, int_domain: bool = False,
     interpret: bool = False, debug: str = "", fpp: int = 1,
-    aliased: bool = False,
+    aliased: bool = False, nbuf: int = 3,
 ):
     refs = refs[1:] if aliased else refs  # skip the pass-through input
     if exact:
@@ -346,8 +360,8 @@ def _warp_kernel(
     # (fpp*3*byp = 768 at fpp=8, byp=32: six full 128-row passes).
     t = p * nb + b
     n_t = pl.num_programs(0) * nb
-    # 3-deep window prefetch on top of that, for the latency tail.
-    nbuf = 3
+    # window prefetch depth (see warp_planar; the round-3 dma-vs-full
+    # ablation measured DMA and compute nearly ADDITIVE at depth 3)
     slot = jax.lax.rem(t, nbuf)
 
     if debug == "noop":  # timing probe: per-program overhead floor
@@ -552,7 +566,11 @@ def warp_planar(
     # xprof trace put the FIXED per-program cost at ~1.4 us (354 us/f of
     # pure overhead at fpp=8 across 2025 tiles); fpp=16 halves the
     # program count at ~6 MB of VMEM scratch (budget ~16 MB).
-    fpp = next(f for f in (16, 8, 4, 2, 1) if b % f == 0)
+    import os as _os
+
+    fpp = next(f for f in (int(_os.environ.get("PCRT_WARP_FPP", "16")),
+                           16, 8, 4, 2, 1) if b % f == 0)
+    nbuf = int(_os.environ.get("PCRT_WARP_NBUF", "3"))
     by2, wx2, off2 = t.by, t.wx, t.off
     out = None
     for byp_c, sel in classes:
@@ -591,16 +609,16 @@ def warp_planar(
                 lambda p, bb, by1, wx1, of1, iar, jar: (
                     bb, 0, iar[p], jar[p])),
             scratch_shapes=[
-                pltpu.VMEM((3, fpp, 3, byp_c, t.wxpf),
+                pltpu.VMEM((nbuf, fpp, 3, byp_c, t.wxpf),
                            jnp.bfloat16 if int_domain else jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((nbuf,)),
             ],
         )
         kern = functools.partial(
             _warp_kernel, byp=byp_c, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad,
             exact=exact, split=t.split, row_align=t.row_align,
             int_domain=int_domain, interpret=interpret, debug=debug, fpp=fpp,
-            aliased=aliased,
+            aliased=aliased, nbuf=nbuf,
         )
         operands = [imgs] + ([out] if aliased else []) + list(masks)
         out = pl.pallas_call(
