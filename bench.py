@@ -67,6 +67,15 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     import jax.numpy as jnp
 
     eng = CRTEngine(params, h, w, fps=30.0, assoc_scan=assoc_scan)
+    # CHAIN each step's uint8 output into the next step's input: the
+    # axon relay dedupes/elides repeated identical executions (a 480p
+    # config measured 1.1M fake fps with static inputs, r3), and
+    # chaining makes every dispatch unique AND serialized. The effect
+    # chain is content-independent in FLOPs, and the serialization tax
+    # measured ~1% vs independent steps at 4K. CAVEAT: even chained,
+    # sub-~5ms steps (c1-class) still read physically impossible
+    # numbers on this relay intermittently — only >=1080p configs time
+    # reliably here; treat small-config rows as indicative only.
     frames = jax.device_put(make_frames(batch, h, w))
     aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
     state = eng.init_state()
@@ -76,13 +85,14 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     out, _ = step(frames, aux, state, first, eng._c)
     out.block_until_ready()
     compile_s = time.perf_counter() - t0
-    for _ in range(warmup):
-        out, _ = step(frames, aux, state, first, eng._c)
-    out.block_until_ready()
+    cur = out
+    for _ in range(max(2, warmup)):
+        cur, _ = step(cur, aux, state, first, eng._c)
+    cur.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, _ = step(frames, aux, state, first, eng._c)
-    out.block_until_ready()
+        cur, _ = step(cur, aux, state, first, eng._c)
+    cur.block_until_ready()
     dt = time.perf_counter() - t0
     return batch * iters / dt, compile_s
 

@@ -355,7 +355,14 @@ class CRTEngine:
             self._grain_mx = False
             if g > 1:
                 gh, gw = self._grain_hw
-                if os.environ.get("PCRT_GRAIN_GATHER") == "1":
+                # The matmul form is contract-safe only where its bf16
+                # input truncation stays under the 1-LSB budget: err_u8
+                # ~ 2^-9 * |field| * noise_strength <= 5*strength/512,
+                # and the tap weights must be bf16-exact (grain_size 2:
+                # 0.25/0.75). Outside that envelope, keep the gathers.
+                mx_ok = (g == 2 and p.noise_strength <= 32.0
+                         and os.environ.get("PCRT_GRAIN_GATHER") != "1")
+                if not mx_ok:
                     c["grain_taps"] = tuple(jnp.asarray(a) for a in
                                             (*oops.bilinear_taps(gh, h), *oops.bilinear_taps(gw, w)))
                 else:
@@ -685,24 +692,12 @@ class CRTEngine:
             if self._pallas_persist and allow_pallas:
                 from .kernels import persist as _kp
 
-                # emit_u8 folds the uint8 cast into the kernel's output
-                # store (same rint/clip sequence as ocolor.to_uint8) —
-                # one fewer full-batch read+write and a 4x smaller write.
-                # The PLANAR (B, 3H, W) flatten matches the physical
-                # layout XLA gives the NHWC intermediates (W-minor), so
-                # the custom call's default-layout constraint is met by
-                # a bitcast; the (B, H, W*3) flatten forced a full-batch
-                # relayout copy (~310 us/f at 4K, round-3 c5 trace).
-                b, h, w = imgs.shape[0], self.h, self.w
-                pi = jnp.transpose(imgs, (0, 3, 1, 2)).reshape(b, 3 * h, w)
-                ps = jnp.transpose(state, (2, 0, 1)).reshape(3 * h, w)
-                outs, ns = _kp.persistence_scan(
-                    pi, ps, first_arr, p.persistence, self._interpret,
-                    emit_u8=True,
+                # Planar flatten + fused uint8 emit (one shared wrapper
+                # carries the layout-bitcast contract for both this and
+                # the multi-clip path — persist.persistence_scan_nhwc).
+                return _kp.persistence_scan_nhwc(
+                    imgs, state, first_arr, p.persistence, self._interpret,
                 )
-                outs = jnp.transpose(outs.reshape(b, 3, h, w), (0, 2, 3, 1))
-                new_state = jnp.transpose(ns.reshape(3, h, w), (1, 2, 0))
-                return outs, new_state
             pp = np.float32(p.persistence)
             om = np.float32(1.0 - p.persistence)
             first = first_arr[0]

@@ -104,19 +104,6 @@ def _pick_fpp(ty: int, w: int, b3: int) -> int:
     return next(f for f in (8, 4, 2, 1) if b3 % f == 0 and f <= cap)
 
 
-def _border_coeffs(taps, n: int, r: int):
-    """(cl, cr): summed clipped-tap coefficients per position (the
-    replicate-border fold, identical to ops/blur.py:_blur_axis)."""
-    cl = np.zeros(n, np.float32)
-    cr = np.zeros(n, np.float32)
-    idx = np.arange(n)
-    for i, t in enumerate(taps):
-        src = idx + i - r
-        cl[src < 0] += np.float32(t)
-        cr[src > n - 1] += np.float32(t)
-    return cl, cr
-
-
 def _bloom3_kernel(img_any, img_blk, out_ref, win_ref, sem,
                    *, spec: Bloom3Spec, nyt: int, fpp: int):
     p = pl.program_id(0)  # stripe index (H/TY)

@@ -46,14 +46,20 @@ TX = 128
 
 
 def _pick_tiles(b: int, h: int, rest: int):
-    """Largest (ty, tx) tile dividing (h, rest): the per-program cost is
-    dominated by launch overhead (the kernel walks all B frames of one
-    tile), so at 4K the minimum (8, 128) tile meant ~24k programs per
-    batch. Bounded so the in/out blocks stay ~<=4 MB of VMEM."""
-    ty = next(t for t in (48, 32, 24, 16, 8) if h % t == 0)
-    tx = next(t for t in (1536, 1024, 768, 512, 384, 256, 128)
-              if rest % t == 0 and b * ty * t * 4 <= (4 << 20))
-    return ty, tx
+    """Largest (ty, tx) tile dividing (h, rest) within ~4 MB of VMEM
+    per in/out block: the per-program cost is dominated by launch
+    overhead (the kernel walks all B frames of one tile), so at 4K the
+    minimum (8, 128) tile meant ~24k programs per batch. The search is
+    JOINT over (ty, tx) — a greedy ty pick can strand large batches
+    with no feasible tx — and (8, 128) is always feasible as the floor
+    (any B: the blocks are pipelined per frame, not resident at once)."""
+    for ty in (48, 32, 24, 16, 8):
+        if h % ty:
+            continue
+        for tx in (1536, 1024, 768, 512, 384, 256, 128):
+            if rest % tx == 0 and b * ty * tx * 4 <= (4 << 20):
+                return ty, tx
+    return 8, 128
 
 
 def _emit(s):
@@ -169,3 +175,29 @@ def persistence_scan(imgs: jax.Array, state: jax.Array, first_arr: jax.Array,
     if clip_states is not None:
         return outs.reshape(out_shape), new_state.reshape(clip_states.shape)
     return outs.reshape(out_shape), new_state.reshape(state.shape)
+
+
+def persistence_scan_nhwc(imgs, state, first_arr, persistence: float,
+                          interpret: bool = False, clip_states=None):
+    """NHWC entry used by the engine and MultiClipEngine: PLANAR
+    (B, 3H, W) flatten — a bitcast against the W-minor physical layout
+    XLA gives the NHWC intermediates (the (B, H, W*3) flatten forced a
+    full-batch relayout copy, ~310 us/f at 4K) — with the uint8 cast
+    fused into the store. Returns NHWC uint8 outs + f32 state(s).
+
+    state: (H, W, 3); clip_states: (C, H, W, 3) for the multi-clip
+    flat batch (state is then ignored)."""
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    pi = jnp.transpose(imgs, (0, 3, 1, 2)).reshape(b, 3 * h, w)
+    if clip_states is not None:
+        cl = clip_states.shape[0]
+        pst = jnp.transpose(clip_states, (0, 3, 1, 2)).reshape(cl, 3 * h, w)
+        outs, ns = persistence_scan(pi, None, first_arr, persistence,
+                                    interpret, emit_u8=True, clip_states=pst)
+        outs = jnp.transpose(outs.reshape(b, 3, h, w), (0, 2, 3, 1))
+        return outs, jnp.transpose(ns.reshape(cl, 3, h, w), (0, 2, 3, 1))
+    ps = jnp.transpose(state, (2, 0, 1)).reshape(3 * h, w)
+    outs, ns = persistence_scan(pi, ps, first_arr, persistence,
+                                interpret, emit_u8=True)
+    outs = jnp.transpose(outs.reshape(b, 3, h, w), (0, 2, 3, 1))
+    return outs, jnp.transpose(ns.reshape(3, h, w), (1, 2, 0))

@@ -570,7 +570,10 @@ def warp_planar(
 
     fpp = next(f for f in (int(_os.environ.get("PCRT_WARP_FPP", "16")),
                            16, 8, 4, 2, 1) if b % f == 0)
-    nbuf = int(_os.environ.get("PCRT_WARP_NBUF", "3"))
+    # depth >= 2 required: at nbuf=1 program 0's window DMA would start
+    # twice (the t==0 prologue AND the steady-state t+nbuf-1 issue hit
+    # the same slot), desynchronizing the semaphore
+    nbuf = max(2, int(_os.environ.get("PCRT_WARP_NBUF", "3")))
     by2, wx2, off2 = t.by, t.wx, t.off
     out = None
     for byp_c, sel in classes:

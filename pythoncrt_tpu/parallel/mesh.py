@@ -195,22 +195,15 @@ class MultiClipEngine:
             b = flat.shape[0] // cl
             if engine._pallas_persist:
                 # One pallas launch walks all clips' frames with
-                # per-clip carry resets at the (static) clip boundaries
-                # and the uint8 cast fused into the store. Planar
-                # (B, 3H, W) flatten: bitcast against the W-minor
-                # physical layout (engine._finish has the full story).
+                # per-clip carry resets at the (static) clip boundaries;
+                # planar flatten + fused uint8 emit via the shared
+                # layout-contract wrapper.
                 from ..kernels import persist as _kp
 
-                bb, hh, ww = imgs.shape[0], engine.h, engine.w
-                pi = jnp.transpose(imgs, (0, 3, 1, 2)).reshape(bb, 3 * hh, ww)
-                pst = jnp.transpose(states, (0, 3, 1, 2)).reshape(cl, 3 * hh, ww)
-                outs, ns = _kp.persistence_scan(
-                    pi, None, first_arr, engine.params.persistence,
-                    engine._interpret, emit_u8=True, clip_states=pst,
+                return _kp.persistence_scan_nhwc(
+                    imgs, None, first_arr, engine.params.persistence,
+                    engine._interpret, clip_states=states,
                 )
-                outs = jnp.transpose(outs.reshape(bb, 3, hh, ww), (0, 2, 3, 1))
-                new_states = jnp.transpose(ns.reshape(cl, 3, hh, ww), (0, 2, 3, 1))
-                return outs, new_states
             imgs = imgs.reshape((cl, b) + imgs.shape[1:])
             outs, new_states = jax.vmap(
                 lambda im, s: engine._finish(im, s, first_arr,

@@ -540,6 +540,18 @@ class TestPersistKernel:
         np.testing.assert_allclose(np.asarray(outs), np.stack(want), atol=1e-6)
         np.testing.assert_allclose(np.asarray(ns), want[-1], atol=1e-6)
 
+    def test_tile_pick_feasible_for_large_batches(self):
+        """The joint (ty, tx) search must always return a feasible tile
+        (a greedy ty pick stranded 4K multi-clip batches >= 256 with a
+        StopIteration mid-trace — round-3 review finding)."""
+        from pythoncrt_tpu.kernels import persist as kp
+
+        for b, h, rest in [(256, 6480, 3840), (400, 3240, 1920),
+                           (16, 6480, 3840), (32, 3240, 1920), (4, 16, 384)]:
+            ty, tx = kp._pick_tiles(b, h, rest)
+            assert h % ty == 0 and rest % tx == 0
+            assert b * ty * tx * 4 <= (4 << 20) or (ty, tx) == (8, 128)
+
     def test_emit_u8_matches_separate_cast(self, rng):
         from pythoncrt_tpu.kernels import persist as kp
         from pythoncrt_tpu.ops import color as ocolor
