@@ -161,6 +161,7 @@ class CRTEngine:
         are on by default on TPU; CPU keeps the XLA path (tests exercise
         the kernels in interpret mode explicitly)."""
         p = self.params
+        self.pallas_mode = mode
         if mode == "off":
             enabled = False
         elif mode == "on":
@@ -266,11 +267,100 @@ class CRTEngine:
                 self.h, self.w, p.warp_strength, row_align=8
             )
 
+    def _resolve_fused(self, text_rgba: Optional[np.ndarray]) -> None:
+        """Decide whether the fused stripe pipeline (kernels/fused.py)
+        replaces the per-stage path: bloom in the middle, pixelate/
+        aberration/grade folded in front of the blur and triad/scanline/
+        vignette/flicker/noise behind it, emitting the int-domain warp
+        feed directly. The round-3 xprof showed the per-stage XLA glue
+        around the bloom kernel re-crossing HBM ~580 us/frame at 1080p;
+        the fold removes those passes and reads u8 windows (4x less DMA).
+        PCRT_NO_FUSED=1 restores the per-stage dispatch for A/B."""
+        p = self.params
+        self._pallas_fused = False
+        self._fused_spec = None
+        # A/B: PCRT_FUSED_EPI=xla keeps stages 7-11 OUT of the kernel —
+        # one memory-bound planar XLA fusion whose pow transcendentals
+        # hide under the HBM stream, vs ~0.19 ms/f of exposed VPU
+        # transcendentals in-kernel (round-3 ablation).
+        self._fused_epi_xla = os.environ.get("PCRT_FUSED_EPI") == "xla"
+        epi_xla = self._fused_epi_xla
+        enabled = self._interpret or jax.default_backend() == "tpu"
+        if self.pallas_mode == "off" or os.environ.get("PCRT_NO_FUSED") == "1":
+            return
+        if self.pallas_mode != "on" and not enabled:
+            return
+        if not p.bloom_on:
+            return  # nothing to fuse around (cheap configs stay XLA)
+        if self._pallas_bloom or self._pallas_bloom2:
+            return  # explicit A/B opt-ins take precedence
+        if p.scanlines_on and not p.scanlines_1d and not epi_xla:
+            return  # 2-D scanlines need sin/pow per pixel — XLA path
+        if p.triad_on and not epi_xla:
+            g = float(p.triad_gamma)
+            if g <= 0.0 or ((not p.triad_preserve_luma) and abs(g - 1.0) < 1e-3):
+                return  # apply_triad's mul-only early-out — keep XLA
+        has_text_before = (text_rgba is not None and p.text.enabled
+                           and not p.text.after)
+        pre = not has_text_before and (
+            not p.pixelate_on or int(p.pixel_size) in (1, 2, 4, 8))
+        emit = ("bf16_255" if (p.warp_on and self._pallas_warp and not epi_xla)
+                else "f32")
+        from .kernels import fused as _kf
+
+        t = float(p.temperature)
+        kw = dict(
+            pre=pre,
+            triad=p.triad_on and not epi_xla, triad_gamma=float(p.triad_gamma),
+            triad_luma=bool(p.triad_preserve_luma), lut_exact=self.lut_exact,
+            scanlines=p.scanlines_on and not epi_xla,
+            vignette=p.vignette_on and not epi_xla,
+            vig_strength=float(p.vignette_strength),
+            flicker=p.flicker_on and not epi_xla,
+            noise=p.noise_on and not epi_xla,
+            noise_scale=float(p.noise_strength) / 255.0,
+            emit=emit,
+        )
+        if pre:
+            kw.update(
+                px=int(p.pixel_size) if p.pixelate_on else 1,
+                ab=int(p.aberration_px) if p.aberration_on else 0,
+                saturation=float(p.saturation),
+                temp_r=float(np.clip(1.0 + 0.5 * t, 0.5, 1.5)) if t != 0.0 else 1.0,
+                temp_b=float(np.clip(1.0 - 0.5 * t, 0.5, 1.5)) if t != 0.0 else 1.0,
+                brightness=float(p.brightness), contrast=float(p.contrast),
+                inv_gamma=(1.0 / float(p.gamma))
+                if (p.gamma != 1.0 and p.gamma > 0.0) else 1.0,
+            )
+        try:
+            self._fused_spec = _kf.build_fused_spec(
+                self.h, self.w, sigma=float(p.bloom_sigma),
+                strength=float(p.bloom_strength), fast=bool(p.fast_bloom),
+                threshold=float(p.bloom_threshold), **kw)
+            self._pallas_fused = True
+        except ValueError:
+            if not pre:
+                return
+            # retry without the prologue (e.g. non-analytic pixelate maps)
+            kw2 = {k: v for k, v in kw.items()
+                   if k not in ("px", "ab", "saturation", "temp_r", "temp_b",
+                                "brightness", "contrast", "inv_gamma")}
+            kw2["pre"] = False
+            try:
+                self._fused_spec = _kf.build_fused_spec(
+                    self.h, self.w, sigma=float(p.bloom_sigma),
+                    strength=float(p.bloom_strength), fast=bool(p.fast_bloom),
+                    threshold=float(p.bloom_threshold), **kw2)
+                self._pallas_fused = True
+            except ValueError:
+                pass
+
     # ------------------------------------------------------------------
     # Host-side constant tables (oracle is the single source of truth)
     # ------------------------------------------------------------------
 
     def _build_consts(self, text_rgba: Optional[np.ndarray]) -> None:
+        self._resolve_fused(text_rgba)
         p, h, w = self.params, self.h, self.w
         c: dict = {}
 
@@ -455,8 +545,19 @@ class CRTEngine:
             and not (self._has_text and p.text.after)
         )
 
-        self._base_key = jax.random.key(self.seed)
         self._c = c
+
+    @property
+    def _base_key(self):
+        """Base RNG key, re-derived from the Python-int seed INSIDE the
+        trace (threefry seeding is deterministic, ~2 fused ops). A
+        device-resident key captured as a closure constant stalled
+        jaxpr->MLIR lowering for 60-70 s per process on this rig: the
+        constant handler's `_value` fetch of the extended-dtype key
+        array crawls through the axon relay (measured round 3,
+        scripts/ — the CLI's whole "3-minute warm start" was this one
+        8-byte constant)."""
+        return jax.random.key(self.seed)
 
     # ------------------------------------------------------------------
     # Per-frame chain (vmapped over the batch axis)
@@ -537,8 +638,7 @@ class CRTEngine:
 
         if p.scanlines_on:  # stage 8
             if p.scanlines_1d:
-                s = 0.5 * (1.0 + jnp.sin(self._sl_omega * (c["sl_y"] + phase)))
-                sl = 1.0 - np.float32(p.scanline_strength) * s
+                sl = self._scanline_mul_1d(c, phase)
                 img = jnp.clip(img * sl[:, None, None], 0.0, 1.0)
             else:
                 s = 0.5 * (1.0 + jnp.sin(self._sl_omega * (c["sl_slant"] + phase)))
@@ -555,25 +655,41 @@ class CRTEngine:
             img = jnp.clip(img * flicker, 0.0, 1.0)
 
         if p.noise_on:  # stage 11
-            gh, gw = self._grain_hw
-            if noise is None:
-                key = jax.random.fold_in(self._base_key, frame_idx)
-                field = jax.random.normal(jax.random.fold_in(key, 11), (gh, gw), jnp.float32)
-            else:
-                field = noise
-            if p.grain_size > 1:
-                # (columns-first upsample measured NEUTRAL at 1080p —
-                # the rows-first oracle order stays for bit-parity)
-                if self._grain_mx:
-                    field = (c["grain_rh"] @ field) @ c["grain_rw"]
-                else:
-                    field = oresize.resize_bilinear(field, *c["grain_taps"])
+            field = self._grain_field(c, frame_idx, noise)
             field = field * np.float32(p.noise_strength / 255.0)
             img = jnp.clip(img + field[:, :, None], 0.0, 1.0)
 
         # stages 12-14 (warp, text-after, glitch) run at batch level in
         # _batch_effects so the Pallas kernels see whole batches.
         return img
+
+    def _scanline_mul_1d(self, c: dict, phase) -> jax.Array:
+        """Stage-8 1-D scanline multiplier (H,) for one frame — shared
+        by the vmapped XLA epilogue and the fused-kernel operand builder
+        (same traced ops, so the two paths are bit-identical)."""
+        s = 0.5 * (1.0 + jnp.sin(self._sl_omega * (c["sl_y"] + phase)))
+        return 1.0 - np.float32(self.params.scanline_strength) * s
+
+    def _grain_field(self, c: dict, frame_idx, noise) -> jax.Array:
+        """Stage-11 un-scaled grain field (H, W) for one frame: generate
+        (native rng) or take the host field, then upsample. Shared by the
+        vmapped XLA epilogue and the fused-kernel operand builder.
+
+        (Columns-first upsample measured NEUTRAL at 1080p — the
+        rows-first oracle order stays for bit-parity.)"""
+        p = self.params
+        gh, gw = self._grain_hw
+        if noise is None:
+            key = jax.random.fold_in(self._base_key, frame_idx)
+            field = jax.random.normal(jax.random.fold_in(key, 11), (gh, gw), jnp.float32)
+        else:
+            field = noise
+        if p.grain_size > 1:
+            if self._grain_mx:
+                field = (c["grain_rh"] @ field) @ c["grain_rw"]
+            else:
+                field = oresize.resize_bilinear(field, *c["grain_taps"])
+        return field
 
     def _glitch_seg_offsets(self, frame_idx, g_base, g_seg, c):
         """Per-frame glitch offsets at segment granularity: (rows, S)
@@ -599,34 +715,145 @@ class CRTEngine:
             base, seg = g_base, g_seg
         return base[:, None] + seg  # (rows, S)
 
+    def _fused_stages(self, frames_u8, aux: FrameAux, c: dict):
+        """Stages 1-11 in ONE Pallas stripe pass (kernels/fused.py) —
+        plus stage 12 when the spec emits the warp kernel's planar bf16
+        [0,255] feed directly (zero layout/domain glue between the two
+        kernels). Returns (imgs, warped):
+
+          warped=False: imgs NHWC f32 [0,1] after stage 11
+          warped=True + _warp_emit_scaled: imgs PLANAR f32 [0,255]
+            (_finish casts to uint8 and transposes — the cheapest
+            possible layout restore, on 1-byte elements)
+          warped=True otherwise: imgs NHWC f32 [0,1] after stage 12
+        """
+        from .kernels import fused as _kf
+
+        spec = self._fused_spec
+        if spec.pre:
+            x = jnp.transpose(frames_u8, (0, 3, 1, 2))  # u8 planar
+        else:
+            pre = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
+            x = jnp.transpose(pre, (0, 3, 1, 2))
+        kw = {}
+        if spec.noise:
+            if aux.noise is None:
+                kw["grain"] = jax.vmap(
+                    lambda fi: self._grain_field(c, fi, None)
+                )(aux.frame_idx)
+            else:
+                kw["grain"] = jax.vmap(
+                    lambda fi, nz: self._grain_field(c, fi, nz)
+                )(aux.frame_idx, aux.noise)
+        if spec.scanlines:
+            kw["sl"] = jax.vmap(
+                lambda ph: self._scanline_mul_1d(c, ph)
+            )(aux.phase)[:, :, None]
+        if spec.vignette:
+            kw["vy2"] = c["vig_ny2"][:, None]
+            kw["vx2"] = c["vig_nx2"][None, :]
+        if spec.triad:
+            kw["tri"] = jnp.transpose(c["triad"])[:, None, :]  # (W,3)->(3,1,W)
+        if spec.flicker:
+            kw["flicker"] = aux.flicker[:, None]
+        out = _kf.fused_pipeline(x, spec, interpret=self._interpret, **kw)
+        if self._fused_epi_xla:
+            out = self._post_bloom_planar(out, aux, c)
+        feed_warp = self.params.warp_on and self._pallas_warp
+        if not feed_warp:
+            return jnp.transpose(out, (0, 2, 3, 1)), False
+        if self._fused_epi_xla:
+            out = jnp.rint(out * np.float32(255.0)).astype(jnp.bfloat16)
+
+        from .kernels import warp as _kw2
+
+        warped = _kw2.warp_planar(
+            out, self._warp_tables, c["warp_m"], self._interpret,
+            self._exact and not getattr(self, "_warp_1pass", False),
+            int_domain=True,
+            debug=os.environ.get("PCRT_WARP_DEBUG", ""),
+        )
+        if self._warp_emit_scaled:
+            return warped, True
+        return jnp.transpose(warped, (0, 2, 3, 1)) * np.float32(1.0 / 255.0), True
+
+    def _post_bloom_planar(self, imgs, aux: FrameAux, c: dict):
+        """Stages 7-11 on the planar (B, 3, H, W) layout in XLA — the
+        same f32 op sequence per element as _frame_post_bloom (only the
+        broadcasting direction differs), feeding the warp kernel without
+        a layout change. PCRT_FUSED_EPI=xla A/B vs the in-kernel
+        epilogue."""
+        p = self.params
+        if p.triad_on:  # stage 7
+            imgs = ocolor.apply_triad_planar(
+                imgs, jnp.transpose(c["triad"])[:, None, :],
+                p.triad_gamma, p.triad_preserve_luma, self.lut_exact)
+        if p.scanlines_on:  # stage 8
+            if p.scanlines_1d:
+                sl = jax.vmap(lambda ph: self._scanline_mul_1d(c, ph))(aux.phase)
+                imgs = jnp.clip(imgs * sl[:, None, :, None], 0.0, 1.0)
+            else:
+                def sl2_of(ph):
+                    s = 0.5 * (1.0 + jnp.sin(self._sl_omega * (c["sl_slant"] + ph)))
+                    shaped = jnp.power(s, self._sl_inv_sharp)
+                    return 1.0 - np.float32(p.scanline_strength) * shaped
+
+                sl2 = jax.vmap(sl2_of)(aux.phase)  # (B, H, W)
+                imgs = jnp.clip(imgs * sl2[:, None], 0.0, 1.0)
+        if p.vignette_on:  # stage 9
+            r2 = c["vig_ny2"][:, None] + c["vig_nx2"][None, :]
+            v = 1.0 - self._vig_strength * jnp.clip(r2, 0.0, 1.0)
+            imgs = jnp.clip(imgs * v[None, None], 0.0, 1.0)
+        if p.flicker_on:  # stage 10
+            imgs = jnp.clip(imgs * aux.flicker[:, None, None, None], 0.0, 1.0)
+        if p.noise_on:  # stage 11
+            if aux.noise is None:
+                field = jax.vmap(
+                    lambda fi: self._grain_field(c, fi, None)
+                )(aux.frame_idx)
+            else:
+                field = jax.vmap(
+                    lambda fi, nz: self._grain_field(c, fi, nz)
+                )(aux.frame_idx, aux.noise)
+            field = field * np.float32(p.noise_strength / 255.0)
+            imgs = jnp.clip(imgs + field[:, None], 0.0, 1.0)
+        return imgs
+
     def _batch_effects(self, frames_u8, aux: FrameAux, c: dict):
         """Full stateless chain over a batch: vmapped per-frame stages
         with the heavy structured ops (gaussian bloom 6, warp 12,
         glitch 14) lifted to batch level for the Pallas kernels (or XLA
-        fallbacks)."""
+        fallbacks). The fused stripe kernel replaces stages 1-11 (and
+        feeds 12 directly) when _resolve_fused accepted the config."""
         p = self.params
-        imgs = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
-        if p.bloom_on:  # stage 6
-            if self._pallas_bloom3:
-                from .kernels import bloom3 as _kb3
+        warped = False
+        if self._pallas_fused:
+            imgs, warped = self._fused_stages(frames_u8, aux, c)
+            if warped and self._warp_emit_scaled:
+                return imgs  # planar f32 [0,255]; _finish restores layout
+        else:
+            imgs = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
+            if p.bloom_on:  # stage 6
+                if self._pallas_bloom3:
+                    from .kernels import bloom3 as _kb3
 
-                fn = _kb3.bloom3_fast_nhwc if self._bloom3_fast else _kb3.bloom3_nhwc
-                imgs = fn(imgs, self._bloom3_spec, self._interpret)
-            elif self._pallas_bloom2:
-                from .kernels import bloom2 as _kb2
+                    fn = _kb3.bloom3_fast_nhwc if self._bloom3_fast else _kb3.bloom3_nhwc
+                    imgs = fn(imgs, self._bloom3_spec, self._interpret)
+                elif self._pallas_bloom2:
+                    from .kernels import bloom2 as _kb2
 
-                imgs = _kb2.bloom2_nhwc(
-                    imgs, self._bloom2_spec, c["bloom2_m"], self._interpret
-                )
-            elif self._pallas_bloom:
-                from .kernels import bloom as _kb
+                    imgs = _kb2.bloom2_nhwc(
+                        imgs, self._bloom2_spec, c["bloom2_m"], self._interpret
+                    )
+                elif self._pallas_bloom:
+                    from .kernels import bloom as _kb
 
-                imgs = _kb.bloom_nhwc(imgs, self._bloom_spec, self._interpret)
-            else:
-                imgs = jax.vmap(functools.partial(self._frame_bloom_xla, c))(imgs)
-        imgs = jax.vmap(functools.partial(self._frame_post_bloom, c))(imgs, aux)
+                    imgs = _kb.bloom_nhwc(imgs, self._bloom_spec, self._interpret)
+                else:
+                    imgs = jax.vmap(functools.partial(self._frame_bloom_xla, c))(imgs)
+            imgs = jax.vmap(functools.partial(self._frame_post_bloom, c))(imgs, aux)
 
-        if p.warp_on:  # stage 12
+        if p.warp_on and not warped:  # stage 12
             if self._pallas_warp:
                 from .kernels import warp as _kw
 
@@ -687,6 +914,13 @@ class CRTEngine:
             # (persistence is off by construction of the flag); the
             # uint8 cast is just rint + clip, no *255 pass.
             out = jnp.clip(jnp.rint(imgs), 0.0, 255.0).astype(jnp.uint8)
+            if self._pallas_fused and (self._fused_spec.emit == "bf16_255"
+                                       or self._fused_epi_xla):
+                # fused path kept the planar kernel layout end-to-end;
+                # restore NHWC on the 1-byte output (4x cheaper than a
+                # f32 transpose) and normalize the carried state.
+                return (jnp.transpose(out, (0, 2, 3, 1)),
+                        jnp.transpose(imgs[-1], (1, 2, 0)) * np.float32(1.0 / 255.0))
             return out, imgs[-1] * np.float32(1.0 / 255.0)
         if p.persistence_on:
             if self._pallas_persist and allow_pallas:

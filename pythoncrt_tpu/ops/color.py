@@ -95,6 +95,44 @@ def apply_triad(
     return jnp.clip(out, 0.0, 1.0)
 
 
+def apply_triad_planar(
+    imgs: jnp.ndarray,
+    mask: jnp.ndarray,
+    gamma: float,
+    preserve_luma: bool,
+    lut_exact: bool = True,
+) -> jnp.ndarray:
+    """apply_triad on the planar (B, 3, H, W) layout (channel axis 1),
+    op-for-op identical per element — broadcasting direction does not
+    change the f32 op sequence. mask: (3, 1, W). Used by the fused
+    stripe pipeline's XLA epilogue (engine._fused_stages), where the
+    planar layout feeds the warp kernel without a transpose."""
+    g = float(gamma)
+    m = mask[None]  # (1, 3, 1, W)
+    if ((not preserve_luma) and abs(g - 1.0) < 1e-3) or g <= 0.0:
+        return jnp.clip(imgs * m, 0.0, 1.0)
+    if lut_exact:
+        lin = jnp.power(_quantize_lut(imgs), np.float32(g))
+    else:
+        lin = jnp.power(jnp.clip(imgs, 0.0, 1.0), np.float32(g))
+    out_lin = lin * m
+
+    def luma(x):
+        return (np.float32(REC709_R) * x[:, 0]
+                + np.float32(REC709_G) * x[:, 1]
+                + np.float32(REC709_B) * x[:, 2])
+
+    if preserve_luma:
+        ratio = jnp.clip(luma(lin) / jnp.maximum(luma(out_lin), 1e-6), 0.5, 2.0)
+        out_lin = out_lin * ratio[:, None]
+    inv_g = np.float32(1.0 / g)
+    if lut_exact:
+        out = jnp.power(_quantize_lut(out_lin), inv_g)
+    else:
+        out = jnp.power(jnp.clip(out_lin, 0.0, 1.0), inv_g)
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def composite_text(img: jnp.ndarray, alpha: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
     """Alpha-over composite with precomputed f32 alpha (H, W, 1) and rgb
     (H, W, 3) device constants (crt_filter.py:595-597)."""

@@ -71,8 +71,13 @@ class ShardedCRTEngine:
             imgs = eng._batch_effects(frames_u8, aux, c)
             if not persist:
                 # _finish owns the uint8 cast (including the scaled
-                # [0, 255] domain the fused warp epilogue emits).
-                return eng._finish(imgs, state, first_arr)
+                # [0, 255] domain the fused warp epilogue emits). The
+                # carried state is the GLOBAL last frame — each shard's
+                # _finish returns its LOCAL tail, so gather and take the
+                # last shard's (P() out-spec would silently keep shard
+                # 0's otherwise).
+                outs, st = eng._finish(imgs, state, first_arr)
+                return outs, jax.lax.all_gather(st, axis)[-1]
 
             my = jax.lax.axis_index(axis)
             n_local = imgs.shape[0]

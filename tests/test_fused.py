@@ -1,0 +1,159 @@
+"""Fused stripe-pipeline kernel (kernels/fused.py): the whole stage
+1-11 chain in one Pallas pass, feeding the warp kernel planar. Every
+config must match BOTH the per-stage engine path (bitwise in interpret
+mode — identical op order, same XLA backend) and the CPU oracle
+(<= 1 LSB, the BASELINE.json contract)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pythoncrt_tpu import CRTEngine, EffectParams
+
+from conftest import synth_frames
+from test_engine_vs_oracle import identity_params, render_oracle
+
+H, W, B, FPS = 48, 256, 4, 24.0
+
+FULL = dict(
+    scanline_strength=0.6, triad_strength=0.35, triad_softness=0.5,
+    aberration_px=1, bloom_sigma=1.2, bloom_strength=0.25,
+    fast_bloom=False, noise_strength=1.5, vignette_strength=0.25,
+    persistence=0.0, pixel_size=2, grain_size=2, warp_strength=0.15,
+    flicker_strength=0.2, flicker_hz=2.0, brightness=0.02,
+    contrast=1.05, gamma=1.1, saturation=0.9, temperature=0.1,
+)
+
+# name -> (overrides on identity params, expect fused, expect prologue)
+CASES = {
+    # the c3 headline shape: u8 prologue + blur + epilogue + planar warp
+    "c3_full": (FULL, True, True),
+    # pixelate size outside {1,2,4,8}: prologue ineligible, XLA pre runs
+    "px3_pre_off": ({**FULL, "pixel_size": 3}, True, False),
+    # no warp -> f32 emit, stage 12 never runs
+    "no_warp": ({**FULL, "warp_strength": 0.0}, True, True),
+    # glitch after warp: fused+warp emit, then NHWC glitch
+    "with_glitch": ({**FULL, "glitch_amp_px": 4, "glitch_height_frac": 0.3,
+                     "scanline_speed_px_s": 45.0}, True, True),
+    # persistence after warp: same NHWC re-entry, then the scan
+    "with_persistence": ({**FULL, "persistence": 0.5}, True, True),
+    # luma-preserving triad + bloom knee
+    "luma_knee": ({**FULL, "triad_preserve_luma": True,
+                   "bloom_threshold": 0.3}, True, True),
+    # gather-path grain upsample (grain_size outside the matmul gate)
+    "grain3": ({**FULL, "grain_size": 3, "noise_strength": 12.0}, True, True),
+    # bloom alone through the fused kernel (minimal epilogue)
+    "bloom_only": (dict(bloom_strength=0.4, bloom_sigma=1.7,
+                        fast_bloom=False), True, True),
+    # aberration without pixelate (pure lane rolls in the prologue)
+    "ab_only": (dict(aberration_px=2, bloom_strength=0.3, bloom_sigma=1.0,
+                     vignette_strength=0.3), True, True),
+    # triad mul-only early-out (gamma≈1, no luma): XLA keeps the stage
+    "triad_g1": ({**FULL, "triad_gamma": 1.0}, False, True),
+    # 2-D scanlines: outside the fused envelope
+    "scan_2d": ({**FULL, "scanline_angle": 12.0,
+                 "scanline_thickness": 2.0}, False, True),
+    # the c4 temporal config: fast-bloom core + glitch + persistence
+    "c4_fast": (dict(scanline_strength=0.6, triad_strength=0.35,
+                     aberration_px=1, bloom_strength=0.25, fast_bloom=True,
+                     noise_strength=1.5, vignette_strength=0.25,
+                     persistence=0.6, pixel_size=1, glitch_amp_px=6,
+                     glitch_height_frac=0.3, scanline_speed_px_s=120.0),
+                True, True),
+    # fast bloom alone with the knee
+    "fast_knee": (dict(bloom_strength=0.5, fast_bloom=True,
+                       bloom_threshold=0.35), True, True),
+}
+
+
+def build(params, **kw):
+    kw.setdefault("rng", "host")  # the oracle needs the host noise field
+    return CRTEngine(params, H, W, FPS, interpret=True, pallas="on", **kw)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_fused_matches_per_stage_and_oracle(name):
+    overrides, expect_fused, _ = CASES[name]
+    p = identity_params(**overrides)
+    frames = synth_frames(B, H, W, seed=3)
+
+    eng = build(p)
+    assert eng._pallas_fused == expect_fused, name
+    got, state = eng.process(frames)
+    got = np.asarray(got)
+
+    if expect_fused:
+        os.environ["PCRT_NO_FUSED"] = "1"
+        try:
+            ref_eng = build(p)
+            assert not ref_eng._pallas_fused
+            want, ref_state = ref_eng.process(frames)
+        finally:
+            del os.environ["PCRT_NO_FUSED"]
+        want = np.asarray(want)
+        # same backend, same op order -> equal to within an isolated
+        # rounding ulp (FMA-contraction class; e.g. the knee division
+        # contracts differently between kernels). Never more than 1 LSB,
+        # and essentially never at all.
+        dps = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert dps.max() <= 1 and (dps > 0).mean() < 1e-3, (
+            f"{name}: fused vs per-stage max {dps.max()}, "
+            f"frac {(dps > 0).mean():.2e}"
+        )
+        # the carried f32 state may differ by FMA-contraction ulps
+        # (the blur's mul+add chains contract differently between the
+        # fused kernel and XLA's fusion choices — same class as the
+        # bloom3 contract in PARITY.md); the u8 output above is bitwise
+        np.testing.assert_allclose(
+            np.asarray(state), np.asarray(ref_state), rtol=0, atol=2e-6
+        )
+
+    oracle_want = render_oracle(eng, frames)
+    diff = np.abs(got.astype(np.int32) - oracle_want.astype(np.int32))
+    assert diff.max() <= 1, f"{name}: vs oracle max {diff.max()}"
+
+
+def test_fused_prologue_gating():
+    """The spec records whether the u8 prologue folded in."""
+    p = identity_params(**FULL)
+    eng = build(p)
+    assert eng._fused_spec.pre
+
+    p3 = identity_params(**{**FULL, "pixel_size": 3})
+    eng3 = build(p3)
+    assert eng3._pallas_fused and not eng3._fused_spec.pre
+
+    # text BEFORE the bloom (text.after=False) forces the XLA prologue
+    from pythoncrt_tpu import TextParams
+
+    pt = identity_params(**{**FULL, "text": TextParams(text="hi", after=False)})
+    ov = np.zeros((H, W, 4), np.uint8)
+    ov[10:20, 30:90] = (255, 80, 40, 200)
+    engt = CRTEngine(pt, H, W, FPS, interpret=True, pallas="on", text_rgba=ov)
+    assert engt._pallas_fused and not engt._fused_spec.pre
+
+
+def test_fused_native_rng_noise():
+    """Native (on-device counter) rng noise rides the same operand
+    plumbing: the fused path's vmapped field generation must reproduce
+    the per-stage path's draws exactly."""
+    p = identity_params(**FULL)
+    frames = synth_frames(B, H, W, seed=5)
+    eng = build(p, rng="native")
+    assert eng._pallas_fused
+    got, _ = eng.process(frames)
+    os.environ["PCRT_NO_FUSED"] = "1"
+    try:
+        want, _ = build(p, rng="native").process(frames)
+    finally:
+        del os.environ["PCRT_NO_FUSED"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_off_on_cpu_backend():
+    """Without interpret (and off-TPU), the fused path must not engage
+    in auto mode — CPU XLA serves the whole chain."""
+    p = identity_params(**FULL)
+    eng = CRTEngine(p, H, W, FPS, pallas="auto")
+    assert not eng._pallas_fused

@@ -184,3 +184,23 @@ class TestShardedPallasKernels:
         np.testing.assert_allclose(
             np.asarray(got_st), np.asarray(ref_st), atol=1e-5
         )
+
+    def test_fused_pipeline_kernel_shards(self, mesh):
+        """The fused stage-1..11 stripe kernel + planar warp feed under
+        shard_map (kernels/fused.py)."""
+        frames = synth_frames(16, 32, 128, seed=13)
+        p = EffectParams(
+            bloom_strength=0.3, bloom_sigma=1.2, fast_bloom=False,
+            warp_strength=0.2, triad_strength=0.4, vignette_strength=0.3,
+            aberration_px=1, pixel_size=2, noise_strength=0.0,
+            persistence=0.0,
+        )
+        eng = CRTEngine(p, 32, 128, FPS, pallas="on", interpret=True)
+        assert eng._pallas_fused and eng._fused_spec.pre
+        ref, ref_st = eng.process(frames)
+        sh = ShardedCRTEngine(eng, mesh)
+        got, got_st = sh.process(frames)
+        assert u8diff(got, ref) == 0  # stateless config: exact
+        np.testing.assert_allclose(
+            np.asarray(got_st), np.asarray(ref_st), atol=1e-5
+        )
