@@ -76,23 +76,41 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     # sub-~5ms steps (c1-class) still read physically impossible
     # numbers on this relay intermittently — only >=1080p configs time
     # reliably here; treat small-config rows as indicative only.
-    frames = jax.device_put(make_frames(batch, h, w))
+    #
+    # SALT the initial frames with per-process entropy: the relay's
+    # dedup cache is CROSS-PROCESS — a fixed seed makes the entire
+    # chained run a replay of any earlier identical run (c3 "measured"
+    # 1.12M fps on 2026-08-17 this way, ~1500x the honest number).
+    # Unique starting content makes every chained step unique forever;
+    # FLOPs are content-independent.
+    salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3), dtype=np.uint8)
+    frames = jax.device_put(make_frames(batch, h, w) ^ salt)
     aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
     state = eng.init_state()
     first = jnp.zeros((1,), jnp.bool_)
     step = eng.jitted_step()
+
+    def sync(arr):
+        # block_until_ready on this relay intermittently returns before
+        # the work ran (measured 2026-08-17: c3 "1.12M fps", ~1500x the
+        # honest number, even with unique inputs). A 3-byte host fetch
+        # from the FINAL chained output cannot be satisfied without the
+        # whole serialized chain executing: ~1 relay RTT (~30-60 ms) of
+        # overhead per timed loop, amortized over iters.
+        return np.asarray(arr[0, 0, 0])
+
     t0 = time.perf_counter()
     out, _ = step(frames, aux, state, first, eng._c)
-    out.block_until_ready()
+    sync(out)
     compile_s = time.perf_counter() - t0
     cur = out
     for _ in range(max(2, warmup)):
         cur, _ = step(cur, aux, state, first, eng._c)
-    cur.block_until_ready()
+    sync(cur)
     t0 = time.perf_counter()
     for _ in range(iters):
         cur, _ = step(cur, aux, state, first, eng._c)
-    cur.block_until_ready()
+    sync(cur)
     dt = time.perf_counter() - t0
     return batch * iters / dt, compile_s
 
@@ -152,7 +170,10 @@ def bench_c5(quick=False, iters=3):
     mc = MultiClipEngine(eng, mesh)
     # flat clip-major batch — the round-3 wrapper contract (no in-jit
     # reshapes around the Pallas calls)
-    clips = jax.device_put(make_frames(c * b, h, w))
+    # per-process salt: defeat the relay's cross-process replay cache
+    # (see bench_engine)
+    salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3), dtype=np.uint8)
+    clips = jax.device_put(make_frames(c * b, h, w) ^ salt)
     red = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
     # pre-stage aux/states on device: this rig's relay has ~30 ms
     # per-transfer latency, which would otherwise dominate the loop
@@ -175,7 +196,10 @@ def bench_c5(quick=False, iters=3):
     t0 = time.perf_counter()
     for i in range(iters):
         out, st = mc._step(clips, aux, st, later, eng._c)
-    out.block_until_ready()
+    # scalar fetch from the final output: the threaded state serializes
+    # the iterations, and block_until_ready alone is untrustworthy on
+    # this relay (see bench_engine.sync)
+    np.asarray(out[0, 0, 0])
     return c * b * iters / (time.perf_counter() - t0)
 
 
