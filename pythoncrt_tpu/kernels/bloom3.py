@@ -160,11 +160,16 @@ def _bloom3_kernel(img_any, img_blk, out_ref, win_ref, sem,
     # stage 0: threshold knee (same expression as the XLA path; knee(0)=0
     # keeps the pad rows exact zeros)
     if spec.threshold > 0.0:
-        # same f32 expression as engine._frame_bloom_xla: a DIVISION by
-        # the constant (x/c and x*(1/c) differ in f32 — exactness rules)
+        # engine._frame_bloom_xla writes a division, but XLA-TPU LOWERS
+        # constant division as multiply-by-rounded-reciprocal (probed
+        # on-chip 2026-08-17: x/c == x*f32(1/c) bitwise), while Mosaic's
+        # divide uses a truncated rcp that is 1 ulp LOW on most inputs.
+        # The multiply is therefore the op that matches the shipping XLA
+        # path on TPU.
         thr = np.float32(min(0.99, max(0.0, spec.threshold)))
         den = np.float32(max(1e-6, 1.0 - float(thr)))
-        win = jnp.clip((win - thr) / den, 0.0, 1.0)
+        rden = np.float32(1.0 / float(den))  # rcp of the f32 den, as XLA folds it
+        win = jnp.clip((win - thr) * rden, 0.0, 1.0)
 
     # stage 1: horizontal pass on all window rows. Tap i reads source
     # column j + (i - r): a static lane rotation with the wrapped columns
@@ -402,9 +407,12 @@ def _bloom3_fast_kernel(img_any, img_blk, out_ref, win_ref, sem,
     win = win_ref[slot]  # (fpp, wr, W) real frame rows (clamped origins)
 
     if spec.threshold > 0.0:
+        # multiply form == XLA-TPU's lowering of the engine's division
+        # (see _bloom3_kernel's knee comment)
         thr = np.float32(min(0.99, max(0.0, spec.threshold)))
         den = np.float32(max(1e-6, 1.0 - float(thr)))
-        win = jnp.clip((win - thr) / den, 0.0, 1.0)
+        rden = np.float32(1.0 / float(den))  # rcp of the f32 den, as XLA folds it
+        win = jnp.clip((win - thr) * rden, 0.0, 1.0)
 
     half = np.float32(0.5)
     # D rows: half-rows at EVEN window rows (odd rows hold garbage that

@@ -105,10 +105,19 @@ def pick_ty_fused(h: int, w: int):
     force = os.environ.get("PCRT_FUSED_TY")
     if force:
         t = int(force)
-        return t if (h % t == 0 and h // t >= 2 and h >= t + 16) else None
-    for t in (40, 24, 16, 8):
+        # ty must be a multiple of 8: stripe window origins carry a
+        # pl.multiple_of(_, 8) claim (a WRONG claim silently misaligns
+        # the DMA, it does not error)
+        return t if (t % 8 == 0 and h % t == 0 and h // t >= 2
+                     and h >= t + 16) else None
+    # Measured sweep at 1080p (2026-08-17, honest harness): ty=24 708,
+    # ty=40 800, ty=72 664, ty=120 687 fps — taller cuts the 16-row
+    # halo ratio until scoped-vmem pressure breaks Mosaic's pipelining.
+    # 40 is the knee; the charged liveness at 4K (w=3840) is ~28 MB,
+    # within the raised per-kernel limit (see fused_pipeline).
+    for t in (40, 32, 24, 16, 8):
         if h % t == 0 and h // t >= 2 and h >= t + 16 \
-                and _LIVE_F * 3 * (t + 16) * w * 4 <= (13 << 20):
+                and _LIVE_F * 3 * (t + 16) * w * 4 <= (32 << 20):
             return t
     return None
 
@@ -233,7 +242,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
 
     # ---------------- prologue: stages 2+3 composed, 1, 4 ----------------
     if s.pre and debug == "nopre":
-        x = win.astype(jnp.int32).astype(jnp.float32) / np.float32(255.0)
+        x = win.astype(jnp.int32).astype(jnp.float32) * np.float32(1.0 / 255.0)
     elif s.pre:
         # rolls commute with the convert; Mosaic has no direct u8->f32
         # cast, so widen through i32 (values 0..255 are exact in both)
@@ -262,7 +271,14 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                         res = jnp.where(lane % s.px == s0, rolled, res)
                 chans.append(res)
             x = jnp.concatenate(chans, axis=0)
-        x = x / np.float32(255.0)  # stage 1 (division, as the engine)
+        # stage 1: the engine writes `frame / 255`, but XLA LOWERS the
+        # constant division as multiply-by-rounded-reciprocal (probed
+        # on-chip 2026-08-17: XLA's x/255 == x*f32(1/255) bitwise on
+        # all 256 inputs, while Mosaic's divide uses a truncated rcp
+        # that differs on 255/256 of them). Matching the shipping XLA
+        # semantics — the multiply — is what keeps the fused path
+        # bit-identical upstream of the triad LUT cliff.
+        x = x * np.float32(1.0 / 255.0)
         # stage 4: saturation -> temperature -> brightness/contrast -> gamma
         if s.saturation != 1.0:
             luma = (np.float32(REC709[0]) * x[0:1]
@@ -291,9 +307,12 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     # down+up parity core. Both reproduce the oracle's f32 op order.
     src = x
     if s.threshold > 0.0:
+        # multiply form == XLA-TPU's lowering of the engine's division
+        # (see the stage-1 /255 comment above; bloom3 kernels match)
         thr = np.float32(min(0.99, max(0.0, s.threshold)))
         den = np.float32(max(1e-6, 1.0 - float(thr)))
-        src = jnp.clip((src - thr) / den, 0.0, 1.0)
+        rden = np.float32(1.0 / float(den))  # rcp of the f32 den, as XLA folds it
+        src = jnp.clip((src - thr) * rden, 0.0, 1.0)
 
     orow = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
 

@@ -19,6 +19,9 @@ VARIANTS = {
     "epi_xla": {"PCRT_FUSED_EPI": "xla"},
     "ty40+epi_xla": {"PCRT_FUSED_TY": "40", "PCRT_FUSED_EPI": "xla"},
     "nofused": {"PCRT_NO_FUSED": "1"},
+    "ty72": {"PCRT_FUSED_TY": "72"},
+    "ty120": {"PCRT_FUSED_TY": "120"},
+    "ty72+epi_xla": {"PCRT_FUSED_TY": "72", "PCRT_FUSED_EPI": "xla"},
     "fpp32": {"PCRT_WARP_FPP": "32"},
     "fpp8": {"PCRT_WARP_FPP": "8"},
     "ty40+fpp32": {"PCRT_FUSED_TY": "40", "PCRT_WARP_FPP": "32"},

@@ -7,7 +7,7 @@ construction) — and reports the uint8 output difference. The contract:
 pow/rint/sin, a +-1-2 ulp class; PARITY.md). Run on the TPU; the
 CPU-interpret equivalent lives in tests/test_fused.py (bitwise there).
 
-Usage: python scripts/check_fused_numerics.py [H W]
+Usage: python scripts/check_fused_numerics.py [c3|c4] [H W]
 """
 
 import os
@@ -17,13 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    h, w = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (1080, 1920)
+    args = [a for a in sys.argv[1:]]
+    cfg = "c3"
+    if args and args[0] in ("c3", "c4"):
+        cfg = args.pop(0)
+    h, w = (int(args[0]), int(args[1])) if len(args) >= 2 else (1080, 1920)
     import numpy as np
 
     from bench import config_params, make_frames
     from pythoncrt_tpu.engine import CRTEngine
 
-    p = config_params("c3_full_1080p")
+    p = config_params("c3_full_1080p" if cfg == "c3" else "c4_temporal_1080p")
     frames = make_frames(8, h, w, seed=7)
 
     eng = CRTEngine(p, h, w, 30.0)
@@ -39,7 +43,7 @@ def main():
         del os.environ["PCRT_NO_FUSED"]
 
     d = np.abs(a - b)
-    print(f"fused vs per-stage on-chip @ {w}x{h}: max {d.max()} LSB, "
+    print(f"fused vs per-stage on-chip {cfg} @ {w}x{h}: max {d.max()} LSB, "
           f"mean {d.mean():.6f}, frac>0 {(d > 0).mean():.2e}")
     assert d.max() <= 1, d.max()
     print("OK (<= 1 LSB)")
