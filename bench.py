@@ -174,7 +174,6 @@ def bench_c5(quick=False, iters=3):
     # (see bench_engine)
     salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3), dtype=np.uint8)
     clips = jax.device_put(make_frames(c * b, h, w) ^ salt)
-    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
     # pre-stage aux/states on device: this rig's relay has ~30 ms
     # per-transfer latency, which would otherwise dominate the loop
     aux = jax.tree.map(jax.device_put,
@@ -182,23 +181,23 @@ def bench_c5(quick=False, iters=3):
     states = jnp.zeros((c, h, w, 3), jnp.float32)
     first = jnp.full((1,), True, jnp.bool_)
     later = jnp.full((1,), False, jnp.bool_)
+    # warmups sync via the same 3-byte scalar fetch as the timed loop
+    # (an earlier jit-sum readback + `del` of its executable right
+    # before the timed region made the relay bill ~0.8 s of deferred
+    # work INTO the loop: 14 fps where phase-instrumented runs measure
+    # ~219 — see bench_engine.sync for why block_until_ready is out)
     out, st = mc._step(clips, aux, states, first, eng._c)
-    int(red(out))
-    # second warmup: the first post-compile execution through this rig's
-    # relay carries a ~1s one-time hiccup that would pollute the average
-    out, st = mc._step(clips, aux, st, later, eng._c)
-    int(red(out))
-    del red
+    np.asarray(out[0, 0, 0])
+    for _ in range(3):
+        out, st = mc._step(clips, aux, st, later, eng._c)
+        np.asarray(out[0, 0, 0])
     # thread the state: each call consumes the previous call's carry, so
-    # iterations serialize WITHOUT a per-iteration host readback (each
-    # readback costs 1-2 relay RTTs of ~30-60 ms on this rig — at 4K
-    # that inflated the measurement ~2x vs the plain engine)
+    # iterations serialize WITHOUT a per-iteration host readback
     t0 = time.perf_counter()
     for i in range(iters):
         out, st = mc._step(clips, aux, st, later, eng._c)
     # scalar fetch from the final output: the threaded state serializes
-    # the iterations, and block_until_ready alone is untrustworthy on
-    # this relay (see bench_engine.sync)
+    # the iterations (costs ~1 relay RTT, amortized over iters)
     np.asarray(out[0, 0, 0])
     return c * b * iters / (time.perf_counter() - t0)
 

@@ -110,14 +110,16 @@ def pick_ty_fused(h: int, w: int):
         # the DMA, it does not error)
         return t if (t % 8 == 0 and h % t == 0 and h // t >= 2
                      and h >= t + 16) else None
-    # Measured sweep at 1080p (2026-08-17, honest harness): ty=24 708,
-    # ty=40 800, ty=72 664, ty=120 687 fps — taller cuts the 16-row
-    # halo ratio until scoped-vmem pressure breaks Mosaic's pipelining.
-    # 40 is the knee; the charged liveness at 4K (w=3840) is ~28 MB,
-    # within the raised per-kernel limit (see fused_pipeline).
+    # Measured sweeps (2026-08-17, honest harness): 1080p ty=24 708,
+    # ty=40 800, ty=72 664, ty=120 687 fps; 4K ty=8 299, ty=24 311,
+    # ty=40 275. Taller stripes cut the 16-row halo ratio until the
+    # charged VMEM liveness passes ~21 MB, where Mosaic's pipelining
+    # degrades (the vmem_limit raise in fused_pipeline makes taller
+    # COMPILE, but past the knee it runs slower). The cap picks ty=40
+    # at w<=1920 and ty=24 at 4K — the measured optima.
     for t in (40, 32, 24, 16, 8):
         if h % t == 0 and h // t >= 2 and h >= t + 16 \
-                and _LIVE_F * 3 * (t + 16) * w * 4 <= (32 << 20):
+                and _LIVE_F * 3 * (t + 16) * w * 4 <= (21 << 20):
             return t
     return None
 

@@ -624,6 +624,14 @@ def warp_planar(
             aliased=aliased, nbuf=nbuf,
         )
         operands = [imgs] + ([out] if aliased else []) + list(masks)
+        # raise Mosaic's 16 MB scoped-vmem default when the window
+        # scratch + working set outgrows it (fpp=32 needs ~19 MB at
+        # 1080p); charge 2x the scratch estimate for Mosaic temporaries
+        scratch_b = nbuf * fpp * 3 * byp_c * t.wxpf * (2 if int_domain else 4)
+        params = {}
+        if scratch_b > (6 << 20):
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(100 << 20, 3 * scratch_b))
         out = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
@@ -632,6 +640,7 @@ def warp_planar(
             # its own tiles; the donated buffer keeps the rest
             input_output_aliases={6: 0} if aliased else {},
             interpret=interpret,
+            **params,
         )(
             jnp.asarray(by2[ia, ja].astype(np.int32)),
             jnp.asarray(wx2[ia, ja].astype(np.int32)),

@@ -22,6 +22,13 @@ VARIANTS = {
     "ty72": {"PCRT_FUSED_TY": "72"},
     "ty120": {"PCRT_FUSED_TY": "120"},
     "ty72+epi_xla": {"PCRT_FUSED_TY": "72", "PCRT_FUSED_EPI": "xla"},
+    "warp_dma": {"PCRT_WARP_DEBUG": "dma"},
+    "warp_noop": {"PCRT_WARP_DEBUG": "noop"},
+    "fused_noblur": {"PCRT_FUSED_DEBUG": "noblur"},
+    "fused_nopow": {"PCRT_FUSED_DEBUG": "nopow"},
+    "fused_nopre": {"PCRT_FUSED_DEBUG": "nopre"},
+    "fused_noepi": {"PCRT_FUSED_DEBUG": "noepi"},
+    "nbuf6": {"PCRT_WARP_NBUF": "6"},
     "fpp32": {"PCRT_WARP_FPP": "32"},
     "fpp8": {"PCRT_WARP_FPP": "8"},
     "ty40+fpp32": {"PCRT_FUSED_TY": "40", "PCRT_WARP_FPP": "32"},
