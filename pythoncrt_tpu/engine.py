@@ -309,10 +309,14 @@ class CRTEngine:
         from .kernels import fused as _kf
 
         t = float(p.temperature)
+        triad_in = p.triad_on and not epi_xla
         kw = dict(
             pre=pre,
-            triad=p.triad_on and not epi_xla, triad_gamma=float(p.triad_gamma),
+            triad=triad_in, triad_gamma=float(p.triad_gamma),
             triad_luma=bool(p.triad_preserve_luma), lut_exact=self.lut_exact,
+            triad_gather=(triad_in and self.lut_exact
+                          and self.w >= _kf.LUT_N + 1
+                          and os.environ.get("PCRT_TRIAD_GATHER") == "1"),
             scanlines=p.scanlines_on and not epi_xla,
             vignette=p.vignette_on and not epi_xla,
             vig_strength=float(p.vignette_strength),
@@ -754,6 +758,18 @@ class CRTEngine:
             kw["vx2"] = c["vig_nx2"][None, :]
         if spec.triad:
             kw["tri"] = jnp.transpose(c["triad"])[:, None, :]  # (W,3)->(3,1,W)
+        if spec.triad_gather:
+            # The two pow tables on the LUT grid, computed in-trace by
+            # XLA (== the XLA engine path's pow bitwise; Mosaic's own
+            # pow differs in ulps). i/LUT_N as idx.astype(f32) * rcp —
+            # the exact _quantize_lut product the kernel would form.
+            g = float(spec.triad_gamma)
+            grid = (jnp.arange(_kf.LUT_N + 1, dtype=jnp.int32)
+                    .astype(jnp.float32) * np.float32(1.0 / _kf.LUT_N))
+            luts = jnp.stack([jnp.power(grid, np.float32(g)),
+                              jnp.power(grid, np.float32(1.0 / g))])
+            kw["luts"] = jnp.pad(luts,
+                                 ((0, 0), (0, self.w - (_kf.LUT_N + 1))))
         if spec.flicker:
             kw["flicker"] = aux.flicker[:, None]
         out = _kf.fused_pipeline(x, spec, interpret=self._interpret, **kw)

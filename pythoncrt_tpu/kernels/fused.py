@@ -85,6 +85,12 @@ class FusedSpec:
     triad_gamma: float = 2.2
     triad_luma: bool = False
     lut_exact: bool = True
+    # triad pows as tpu.dynamic_gather LUT lookups: the quantize-then-pow
+    # inputs take only LUT_N+1 distinct values, so each pow is a lane
+    # gather from an XLA-precomputed table (bitwise the XLA engine
+    # path's pow, vs Mosaic's own ulp-different pow). Needs w > LUT_N
+    # (the table rides the lane axis) and lut_exact. PCRT_TRIAD_GATHER.
+    triad_gather: bool = False
     scanlines: bool = False  # 1-D only (operand carries the multiplier)
     vignette: bool = False
     vig_strength: float = 0.0
@@ -167,6 +173,11 @@ def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
         raise ValueError("aberration exceeds frame width")
     if kw.get("emit", "f32") not in ("f32", "bf16_255"):
         raise ValueError(f"unknown emit mode {kw.get('emit')}")
+    if kw.get("triad_gather"):
+        if not (kw.get("triad") and kw.get("lut_exact", True)):
+            raise ValueError("triad_gather needs triad + lut_exact")
+        if w < LUT_N + 1:
+            raise ValueError(f"triad_gather needs w > {LUT_N}, got {w}")
     return FusedSpec(h=h, w=w, ty=ty, r=r, taps=taps, strength=float(strength),
                      threshold=float(threshold), fast=fast, **kw)
 
@@ -198,6 +209,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     vy_ref = refs.pop(0) if s.vignette else None
     vx_ref = refs.pop(0) if s.vignette else None
     tri_ref = refs.pop(0) if s.triad else None
+    lut_ref = refs.pop(0) if s.triad_gather else None
     fl_ref = refs.pop(0) if s.flicker else None
     out_ref, mid_ref, win_ref, sem = refs
 
@@ -465,7 +477,23 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                 return v * np.float32(e)
             return jnp.power(v, np.float32(e))
 
-        if s.lut_exact:
+        def _lut(v, which):
+            # quantize_lut + pow as ONE lane gather: idx is the same
+            # int32 _quantize_lut computes; the table row holds the XLA
+            # engine path's pow of every grid value (built in-trace by
+            # the caller). tpu.dynamic_gather needs operand shape ==
+            # index shape, so the (1, W) table row broadcasts up and the
+            # (3, ty, W) indices flatten their sublane-major dims.
+            idx = jnp.clip((jnp.clip(v, 0.0, 1.0) * np.float32(LUT_N))
+                           .astype(jnp.int32), 0, LUT_N).reshape(3 * ty, w)
+            tbl = jnp.broadcast_to(lut_ref[which:which + 1, :], (3 * ty, w))
+            return jnp.take_along_axis(
+                tbl, idx, axis=1, mode="promise_in_bounds").reshape(3, ty, w)
+
+        use_gather = s.triad_gather and debug != "nopow"
+        if use_gather:
+            lin = _lut(m, 0)
+        elif s.lut_exact:
             lin = _pow(_quantize_lut(m), g)
         else:
             lin = _pow(jnp.clip(m, 0.0, 1.0), g)
@@ -479,7 +507,9 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                   + np.float32(REC709[2]) * out_lin[2:3])
             ratio = jnp.clip(yb / jnp.maximum(ya, np.float32(1e-6)), 0.5, 2.0)
             out_lin = out_lin * ratio
-        if s.lut_exact:
+        if use_gather:
+            m = _lut(out_lin, 1)
+        elif s.lut_exact:
             m = _pow(_quantize_lut(out_lin), 1.0 / g)
         else:
             m = _pow(jnp.clip(out_lin, 0.0, 1.0), 1.0 / g)
@@ -506,7 +536,8 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
 
 
 def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
-                   vx2=None, tri=None, flicker=None, interpret: bool = False):
+                   vx2=None, tri=None, luts=None, flicker=None,
+                   interpret: bool = False):
     """Run the fused stripe pipeline.
 
     img: (B, 3, H, W) planar — uint8 when spec.pre else f32 in [0,1].
@@ -514,6 +545,8 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
     sl: (B, H, 1) f32 final scanline multiplier      [spec.scanlines]
     vy2/vx2: (H, 1)/(1, W) f32 vignette r^2 vectors  [spec.vignette]
     tri: (3, 1, W) f32 triad mask                    [spec.triad]
+    luts: (2, W) f32 pow tables on the LUT_N grid,   [spec.triad_gather]
+        row 0 = x^gamma, row 1 = x^(1/gamma), zero-padded past LUT_N+1
     flicker: (B, 1) f32 per-frame gain               [spec.flicker]
     Returns (B, 3, H, W): f32 [0,1] or bf16 [0,255] per spec.emit.
     """
@@ -539,6 +572,9 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
     if spec.triad:
         in_specs.append(pl.BlockSpec((3, 1, w), lambda p, bb: (0, 0, 0)))
         args.append(tri)
+    if spec.triad_gather:
+        in_specs.append(pl.BlockSpec((2, w), lambda p, bb: (0, 0)))
+        args.append(luts)
     if spec.flicker:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(flicker)

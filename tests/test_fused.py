@@ -151,6 +151,49 @@ def test_fused_native_rng_noise():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_triad_gather_matches_pow():
+    """PCRT_TRIAD_GATHER=1 swaps the triad quantize-then-pow for LUT
+    lane gathers (kernels/fused.py:_lut). The tables are built by the
+    same XLA backend evaluating pow on the identical grid values, so in
+    interpret mode the output bytes must be EXACTLY the pow path's."""
+    wt = 1152  # > LUT_N: the table rides the lane axis
+    p = identity_params(**FULL)
+    frames = synth_frames(B, H, wt, seed=7)
+    os.environ["PCRT_TRIAD_GATHER"] = "1"
+    try:
+        eng = CRTEngine(p, H, wt, FPS, interpret=True, pallas="on", rng="host")
+        assert eng._pallas_fused and eng._fused_spec.triad_gather
+        got, _ = eng.process(frames)
+    finally:
+        del os.environ["PCRT_TRIAD_GATHER"]
+    eng0 = CRTEngine(p, H, wt, FPS, interpret=True, pallas="on", rng="host")
+    assert eng0._pallas_fused and not eng0._fused_spec.triad_gather
+    want, _ = eng0.process(frames)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # luma-preserving triad rides the same gathers
+    pl_ = identity_params(**{**FULL, "triad_preserve_luma": True})
+    os.environ["PCRT_TRIAD_GATHER"] = "1"
+    try:
+        engl = CRTEngine(pl_, H, wt, FPS, interpret=True, pallas="on",
+                         rng="host")
+        assert engl._fused_spec.triad_gather
+        gotl, _ = engl.process(frames)
+    finally:
+        del os.environ["PCRT_TRIAD_GATHER"]
+    wantl, _ = CRTEngine(pl_, H, wt, FPS, interpret=True, pallas="on",
+                         rng="host").process(frames)
+    np.testing.assert_array_equal(np.asarray(gotl), np.asarray(wantl))
+
+    # narrow frames can't hold the table: the gate must refuse
+    os.environ["PCRT_TRIAD_GATHER"] = "1"
+    try:
+        engn = build(p)
+        assert engn._pallas_fused and not engn._fused_spec.triad_gather
+    finally:
+        del os.environ["PCRT_TRIAD_GATHER"]
+
+
 def test_fused_off_on_cpu_backend():
     """Without interpret (and off-TPU), the fused path must not engage
     in auto mode — CPU XLA serves the whole chain."""
