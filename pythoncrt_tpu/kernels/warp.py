@@ -29,6 +29,7 @@ rounding order (<= a few ulps).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -419,7 +420,25 @@ def _warp_kernel(
             for c_ in range(3):
                 out_ref[f_, c_] = win_ref[slot, f_, c_, :TY, :TX].astype(jnp.float32)
         return
-    if int_domain and not interpret:
+    # (bitcast is Mosaic-only, so the interpret path covers f32 only)
+    gather_roll = debug != "rotroll" and not (interpret and int_domain) \
+        and os.environ.get("PCRT_WARP_GATHER_ROLL") == "1"
+    if gather_roll:
+        # De-offset as ONE lane gather (tpu.dynamic_gather) instead of
+        # the multi-pass dynamic rotate: rolled[k] = full[(k+off) mod N]
+        # with a shared per-row index vector. Values move verbatim.
+        # bf16 windows ride the same i32 bitcast as the rotate path
+        # (pairs sublanes, lanes map 1:1) so one gather moves two rows.
+        src = pltpu.bitcast(full, jnp.int32) if int_domain else full
+        rows = int(np.prod(src.shape[:-1]))
+        flat = src.reshape(rows, wxpf)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, wxpf), 1)
+        idx = jax.lax.rem(lanes + off, wxpf)
+        rolled = jnp.take_along_axis(
+            flat, idx, axis=1, mode="promise_in_bounds").reshape(src.shape)
+        if int_domain:
+            rolled = pltpu.bitcast(rolled, jnp.bfloat16)
+    elif int_domain and not interpret:
         # Mosaic has no 16-bit dynamic rotate. Bitcast the bf16 window
         # to i32: packing pairs SUBLANES (rows 2i, 2i+1 -> i32 row i),
         # so lanes map 1:1 and a 32-bit lane rotate rotates the bf16
