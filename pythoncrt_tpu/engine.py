@@ -327,6 +327,7 @@ class CRTEngine:
         )
         if pre:
             kw.update(
+                in_nhwc=os.environ.get("PCRT_FUSED_NHWC") == "1",
                 px=int(p.pixel_size) if p.pixelate_on else 1,
                 ab=int(p.aberration_px) if p.aberration_on else 0,
                 saturation=float(p.saturation),
@@ -348,7 +349,8 @@ class CRTEngine:
             # retry without the prologue (e.g. non-analytic pixelate maps)
             kw2 = {k: v for k, v in kw.items()
                    if k not in ("px", "ab", "saturation", "temp_r", "temp_b",
-                                "brightness", "contrast", "inv_gamma")}
+                                "brightness", "contrast", "inv_gamma",
+                                "in_nhwc")}
             kw2["pre"] = False
             try:
                 self._fused_spec = _kf.build_fused_spec(
@@ -734,7 +736,9 @@ class CRTEngine:
         from .kernels import fused as _kf
 
         spec = self._fused_spec
-        if spec.pre:
+        if spec.pre and spec.in_nhwc:
+            x = frames_u8  # the kernel's per-channel DMA reads NHWC raw
+        elif spec.pre:
             x = jnp.transpose(frames_u8, (0, 3, 1, 2))  # u8 planar
         else:
             pre = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)

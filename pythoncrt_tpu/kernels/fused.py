@@ -72,6 +72,11 @@ class FusedSpec:
     #                     instead of the gaussian taps (r/taps unused)
     # prologue (pre=False -> input is the engine's pre-processed f32)
     pre: bool = False
+    # read the pipeline's native NHWC u8 frames directly: the window DMA
+    # splits into three per-channel strided copies (channel = minor byte
+    # stride 3) instead of requiring an XLA transpose pass to planar
+    # (~45 us/f exposed at 1080p, r3 xprof). PCRT_FUSED_NHWC.
+    in_nhwc: bool = False
     px: int = 1  # pixel_size (1 = no pixelate); window-origin aligned
     ab: int = 0  # aberration_px (R reads +ab, B reads -ab lanes away)
     saturation: float = 1.0
@@ -178,6 +183,8 @@ def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
             raise ValueError("triad_gather needs triad + lut_exact")
         if w < LUT_N + 1:
             raise ValueError(f"triad_gather needs w > {LUT_N}, got {w}")
+    if kw.get("in_nhwc") and not kw.get("pre"):
+        raise ValueError("in_nhwc needs the u8 prologue (pre=True)")
     return FusedSpec(h=h, w=w, ty=ty, r=r, taps=taps, strength=float(strength),
                      threshold=float(threshold), fast=fast, **kw)
 
@@ -225,11 +232,22 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
         bb = jax.lax.rem(tt, nb)
         pp = tt // nb
         lo = pl.multiple_of(jnp.clip(pp * ty - 8, 0, h - wr), 8)
-        pltpu.make_async_copy(
-            img_any.at[pl.ds(bb, 1), :, pl.ds(lo, wr), :],
-            win_ref.at[sl_],
-            sem.at[sl_],
-        ).start()
+        if s.in_nhwc:
+            # three per-channel strided copies from the NHWC frame
+            # (channel = minor, byte stride 3); completions accumulate
+            # on the slot's semaphore and the consumer waits thrice
+            for c in range(3):
+                pltpu.make_async_copy(
+                    img_any.at[bb, pl.ds(lo, wr), :, c],
+                    win_ref.at[sl_, 0, c],
+                    sem.at[sl_],
+                ).start()
+        else:
+            pltpu.make_async_copy(
+                img_any.at[pl.ds(bb, 1), :, pl.ds(lo, wr), :],
+                win_ref.at[sl_],
+                sem.at[sl_],
+            ).start()
 
     @pl.when(t == 0)
     def _():
@@ -243,11 +261,19 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     def _():
         start_dma(t + nbuf - 1, jax.lax.rem(t + nbuf - 1, nbuf))
 
-    pltpu.make_async_copy(
-        img_any.at[pl.ds(0, 1), :, pl.ds(0, wr), :],  # shape-only
-        win_ref.at[slot],
-        sem.at[slot],
-    ).wait()
+    if s.in_nhwc:
+        for c in range(3):  # one wait per per-channel copy
+            pltpu.make_async_copy(
+                img_any.at[0, pl.ds(0, wr), :, c],  # shape-only
+                win_ref.at[slot, 0, c],
+                sem.at[slot],
+            ).wait()
+    else:
+        pltpu.make_async_copy(
+            img_any.at[pl.ds(0, 1), :, pl.ds(0, wr), :],  # shape-only
+            win_ref.at[slot],
+            sem.at[slot],
+        ).wait()
 
     win = win_ref[slot][0]  # (3, wr, W), u8 (pre) or f32
 

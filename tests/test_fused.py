@@ -194,6 +194,25 @@ def test_triad_gather_matches_pow():
         del os.environ["PCRT_TRIAD_GATHER"]
 
 
+def test_fused_nhwc_input_matches_planar():
+    """PCRT_FUSED_NHWC=1 feeds the kernel raw NHWC u8 frames (three
+    per-channel strided window DMAs instead of an XLA transpose pass);
+    output bytes must be identical."""
+    p = identity_params(**FULL)
+    frames = synth_frames(B, H, W, seed=11)
+    os.environ["PCRT_FUSED_NHWC"] = "1"
+    try:
+        eng = build(p)
+        assert eng._pallas_fused and eng._fused_spec.in_nhwc
+        got, _ = eng.process(frames)
+    finally:
+        del os.environ["PCRT_FUSED_NHWC"]
+    eng0 = build(p)
+    assert not eng0._fused_spec.in_nhwc
+    want, _ = eng0.process(frames)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_off_on_cpu_backend():
     """Without interpret (and off-TPU), the fused path must not engage
     in auto mode — CPU XLA serves the whole chain."""
