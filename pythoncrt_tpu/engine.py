@@ -304,7 +304,9 @@ class CRTEngine:
                            and not p.text.after)
         pre = not has_text_before and (
             not p.pixelate_on or int(p.pixel_size) in (1, 2, 4, 8))
-        emit = ("bf16_255" if (p.warp_on and self._pallas_warp and not epi_xla)
+        feed = ("bf16_255" if os.environ.get("PCRT_WARP_FEED") == "bf16"
+                else "u8_255")  # u8 halves the warp window DMA bytes
+        emit = (feed if (p.warp_on and self._pallas_warp and not epi_xla)
                 else "f32")
         from .kernels import fused as _kf
 
@@ -314,9 +316,6 @@ class CRTEngine:
             pre=pre,
             triad=triad_in, triad_gamma=float(p.triad_gamma),
             triad_luma=bool(p.triad_preserve_luma), lut_exact=self.lut_exact,
-            triad_gather=(triad_in and self.lut_exact
-                          and self.w >= _kf.LUT_N + 1
-                          and os.environ.get("PCRT_TRIAD_GATHER") == "1"),
             scanlines=p.scanlines_on and not epi_xla,
             vignette=p.vignette_on and not epi_xla,
             vig_strength=float(p.vignette_strength),
@@ -327,7 +326,6 @@ class CRTEngine:
         )
         if pre:
             kw.update(
-                in_nhwc=os.environ.get("PCRT_FUSED_NHWC") == "1",
                 px=int(p.pixel_size) if p.pixelate_on else 1,
                 ab=int(p.aberration_px) if p.aberration_on else 0,
                 saturation=float(p.saturation),
@@ -349,8 +347,7 @@ class CRTEngine:
             # retry without the prologue (e.g. non-analytic pixelate maps)
             kw2 = {k: v for k, v in kw.items()
                    if k not in ("px", "ab", "saturation", "temp_r", "temp_b",
-                                "brightness", "contrast", "inv_gamma",
-                                "in_nhwc")}
+                                "brightness", "contrast", "inv_gamma")}
             kw2["pre"] = False
             try:
                 self._fused_spec = _kf.build_fused_spec(
@@ -550,6 +547,14 @@ class CRTEngine:
             and not p.glitch_on
             and not (self._has_text and p.text.after)
         )
+        # ... and when it is, the uint8 cast itself folds into the
+        # kernel's output store (4x smaller writes + the XLA
+        # clamp/convert pass disappears). PCRT_WARP_U8OUT=0 restores
+        # the f32 [0,255] emit for A/B.
+        self._warp_emit_u8 = bool(
+            self._warp_emit_scaled
+            and os.environ.get("PCRT_WARP_U8OUT", "1") != "0"
+        )
 
         self._c = c
 
@@ -736,9 +741,7 @@ class CRTEngine:
         from .kernels import fused as _kf
 
         spec = self._fused_spec
-        if spec.pre and spec.in_nhwc:
-            x = frames_u8  # the kernel's per-channel DMA reads NHWC raw
-        elif spec.pre:
+        if spec.pre:
             x = jnp.transpose(frames_u8, (0, 3, 1, 2))  # u8 planar
         else:
             pre = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
@@ -762,18 +765,6 @@ class CRTEngine:
             kw["vx2"] = c["vig_nx2"][None, :]
         if spec.triad:
             kw["tri"] = jnp.transpose(c["triad"])[:, None, :]  # (W,3)->(3,1,W)
-        if spec.triad_gather:
-            # The two pow tables on the LUT grid, computed in-trace by
-            # XLA (== the XLA engine path's pow bitwise; Mosaic's own
-            # pow differs in ulps). i/LUT_N as idx.astype(f32) * rcp —
-            # the exact _quantize_lut product the kernel would form.
-            g = float(spec.triad_gamma)
-            grid = (jnp.arange(_kf.LUT_N + 1, dtype=jnp.int32)
-                    .astype(jnp.float32) * np.float32(1.0 / _kf.LUT_N))
-            luts = jnp.stack([jnp.power(grid, np.float32(g)),
-                              jnp.power(grid, np.float32(1.0 / g))])
-            kw["luts"] = jnp.pad(luts,
-                                 ((0, 0), (0, self.w - (_kf.LUT_N + 1))))
         if spec.flicker:
             kw["flicker"] = aux.flicker[:, None]
         out = _kf.fused_pipeline(x, spec, interpret=self._interpret, **kw)
@@ -783,7 +774,9 @@ class CRTEngine:
         if not feed_warp:
             return jnp.transpose(out, (0, 2, 3, 1)), False
         if self._fused_epi_xla:
-            out = jnp.rint(out * np.float32(255.0)).astype(jnp.bfloat16)
+            dt = (jnp.bfloat16 if os.environ.get("PCRT_WARP_FEED") == "bf16"
+                  else jnp.uint8)
+            out = jnp.rint(out * np.float32(255.0)).astype(dt)
 
         from .kernels import warp as _kw2
 
@@ -792,6 +785,7 @@ class CRTEngine:
             self._exact and not getattr(self, "_warp_1pass", False),
             int_domain=True,
             debug=os.environ.get("PCRT_WARP_DEBUG", ""),
+            emit_u8=self._warp_emit_u8,
         )
         if self._warp_emit_scaled:
             return warped, True
@@ -882,6 +876,7 @@ class CRTEngine:
                     self._exact and not getattr(self, "_warp_1pass", False),
                     int_domain=True,
                     emit_scaled=self._warp_emit_scaled,
+                    emit_u8=self._warp_emit_u8,
                     # timing-probe modes (dma/noop: WRONG output) for the
                     # engine-level ablation — the only trusted instrument
                     # on this rig (standalone kernel timings are relay
@@ -930,18 +925,25 @@ class CRTEngine:
         a measured pathology (ROADMAP.md round-1 notes)."""
         p = self.params
         if self._warp_emit_scaled:
-            # imgs are f32 in [0, 255] straight from the warp kernel
-            # (persistence is off by construction of the flag); the
-            # uint8 cast is just rint + clip, no *255 pass.
-            out = jnp.clip(jnp.rint(imgs), 0.0, 255.0).astype(jnp.uint8)
-            if self._pallas_fused and (self._fused_spec.emit == "bf16_255"
+            # imgs are f32 in [0, 255] — or already uint8 when the cast
+            # folded into the warp kernel (_warp_emit_u8) — straight
+            # from the warp (persistence is off by construction of the
+            # flag); the uint8 cast is just rint + clip, no *255 pass.
+            if imgs.dtype == jnp.uint8:
+                out = imgs
+                stt = imgs[-1].astype(jnp.float32) * np.float32(1.0 / 255.0)
+            else:
+                out = jnp.clip(jnp.rint(imgs), 0.0, 255.0).astype(jnp.uint8)
+                stt = imgs[-1] * np.float32(1.0 / 255.0)
+            if self._pallas_fused and (self._fused_spec.emit
+                                       in ("bf16_255", "u8_255")
                                        or self._fused_epi_xla):
                 # fused path kept the planar kernel layout end-to-end;
                 # restore NHWC on the 1-byte output (4x cheaper than a
                 # f32 transpose) and normalize the carried state.
                 return (jnp.transpose(out, (0, 2, 3, 1)),
-                        jnp.transpose(imgs[-1], (1, 2, 0)) * np.float32(1.0 / 255.0))
-            return out, imgs[-1] * np.float32(1.0 / 255.0)
+                        jnp.transpose(stt, (1, 2, 0)))
+            return out, stt
         if p.persistence_on:
             if self._pallas_persist and allow_pallas:
                 from .kernels import persist as _kp

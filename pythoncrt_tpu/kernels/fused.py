@@ -72,11 +72,6 @@ class FusedSpec:
     #                     instead of the gaussian taps (r/taps unused)
     # prologue (pre=False -> input is the engine's pre-processed f32)
     pre: bool = False
-    # read the pipeline's native NHWC u8 frames directly: the window DMA
-    # splits into three per-channel strided copies (channel = minor byte
-    # stride 3) instead of requiring an XLA transpose pass to planar
-    # (~45 us/f exposed at 1080p, r3 xprof). PCRT_FUSED_NHWC.
-    in_nhwc: bool = False
     px: int = 1  # pixel_size (1 = no pixelate); window-origin aligned
     ab: int = 0  # aberration_px (R reads +ab, B reads -ab lanes away)
     saturation: float = 1.0
@@ -90,19 +85,17 @@ class FusedSpec:
     triad_gamma: float = 2.2
     triad_luma: bool = False
     lut_exact: bool = True
-    # triad pows as tpu.dynamic_gather LUT lookups: the quantize-then-pow
-    # inputs take only LUT_N+1 distinct values, so each pow is a lane
-    # gather from an XLA-precomputed table (bitwise the XLA engine
-    # path's pow, vs Mosaic's own ulp-different pow). Needs w > LUT_N
-    # (the table rides the lane axis) and lut_exact. PCRT_TRIAD_GATHER.
-    triad_gather: bool = False
     scanlines: bool = False  # 1-D only (operand carries the multiplier)
     vignette: bool = False
     vig_strength: float = 0.0
     flicker: bool = False
     noise: bool = False
     noise_scale: float = 0.0  # noise_strength / 255
-    emit: str = "f32"  # "f32" [0,1] | "bf16_255" (int-domain warp feed)
+    # "f32": [0,1] floats. "bf16_255"/"u8_255": rint(m*255) on the
+    # integer grid for the int-domain warp kernel — identical values,
+    # but u8 halves the kernel's output write AND the warp's window
+    # DMA bytes (the warp casts back to bf16 in-register post-roll).
+    emit: str = "f32"
 
 
 # Peak VMEM liveness through the prologue+blur+epilogue pipeline,
@@ -176,15 +169,8 @@ def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
             raise ValueError("pixelate maps deviate from the analytic form")
     if kw.get("pre") and abs(int(kw.get("ab", 0))) >= w:
         raise ValueError("aberration exceeds frame width")
-    if kw.get("emit", "f32") not in ("f32", "bf16_255"):
+    if kw.get("emit", "f32") not in ("f32", "bf16_255", "u8_255"):
         raise ValueError(f"unknown emit mode {kw.get('emit')}")
-    if kw.get("triad_gather"):
-        if not (kw.get("triad") and kw.get("lut_exact", True)):
-            raise ValueError("triad_gather needs triad + lut_exact")
-        if w < LUT_N + 1:
-            raise ValueError(f"triad_gather needs w > {LUT_N}, got {w}")
-    if kw.get("in_nhwc") and not kw.get("pre"):
-        raise ValueError("in_nhwc needs the u8 prologue (pre=True)")
     return FusedSpec(h=h, w=w, ty=ty, r=r, taps=taps, strength=float(strength),
                      threshold=float(threshold), fast=fast, **kw)
 
@@ -216,7 +202,6 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     vy_ref = refs.pop(0) if s.vignette else None
     vx_ref = refs.pop(0) if s.vignette else None
     tri_ref = refs.pop(0) if s.triad else None
-    lut_ref = refs.pop(0) if s.triad_gather else None
     fl_ref = refs.pop(0) if s.flicker else None
     out_ref, mid_ref, win_ref, sem = refs
 
@@ -232,22 +217,11 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
         bb = jax.lax.rem(tt, nb)
         pp = tt // nb
         lo = pl.multiple_of(jnp.clip(pp * ty - 8, 0, h - wr), 8)
-        if s.in_nhwc:
-            # three per-channel strided copies from the NHWC frame
-            # (channel = minor, byte stride 3); completions accumulate
-            # on the slot's semaphore and the consumer waits thrice
-            for c in range(3):
-                pltpu.make_async_copy(
-                    img_any.at[bb, pl.ds(lo, wr), :, c],
-                    win_ref.at[sl_, 0, c],
-                    sem.at[sl_],
-                ).start()
-        else:
-            pltpu.make_async_copy(
-                img_any.at[pl.ds(bb, 1), :, pl.ds(lo, wr), :],
-                win_ref.at[sl_],
-                sem.at[sl_],
-            ).start()
+        pltpu.make_async_copy(
+            img_any.at[pl.ds(bb, 1), :, pl.ds(lo, wr), :],
+            win_ref.at[sl_],
+            sem.at[sl_],
+        ).start()
 
     @pl.when(t == 0)
     def _():
@@ -261,19 +235,11 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     def _():
         start_dma(t + nbuf - 1, jax.lax.rem(t + nbuf - 1, nbuf))
 
-    if s.in_nhwc:
-        for c in range(3):  # one wait per per-channel copy
-            pltpu.make_async_copy(
-                img_any.at[0, pl.ds(0, wr), :, c],  # shape-only
-                win_ref.at[slot, 0, c],
-                sem.at[slot],
-            ).wait()
-    else:
-        pltpu.make_async_copy(
-            img_any.at[pl.ds(0, 1), :, pl.ds(0, wr), :],  # shape-only
-            win_ref.at[slot],
-            sem.at[slot],
-        ).wait()
+    pltpu.make_async_copy(
+        img_any.at[pl.ds(0, 1), :, pl.ds(0, wr), :],  # shape-only
+        win_ref.at[slot],
+        sem.at[slot],
+    ).wait()
 
     win = win_ref[slot][0]  # (3, wr, W), u8 (pre) or f32
 
@@ -503,23 +469,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                 return v * np.float32(e)
             return jnp.power(v, np.float32(e))
 
-        def _lut(v, which):
-            # quantize_lut + pow as ONE lane gather: idx is the same
-            # int32 _quantize_lut computes; the table row holds the XLA
-            # engine path's pow of every grid value (built in-trace by
-            # the caller). tpu.dynamic_gather needs operand shape ==
-            # index shape, so the (1, W) table row broadcasts up and the
-            # (3, ty, W) indices flatten their sublane-major dims.
-            idx = jnp.clip((jnp.clip(v, 0.0, 1.0) * np.float32(LUT_N))
-                           .astype(jnp.int32), 0, LUT_N).reshape(3 * ty, w)
-            tbl = jnp.broadcast_to(lut_ref[which:which + 1, :], (3 * ty, w))
-            return jnp.take_along_axis(
-                tbl, idx, axis=1, mode="promise_in_bounds").reshape(3, ty, w)
-
-        use_gather = s.triad_gather and debug != "nopow"
-        if use_gather:
-            lin = _lut(m, 0)
-        elif s.lut_exact:
+        if s.lut_exact:
             lin = _pow(_quantize_lut(m), g)
         else:
             lin = _pow(jnp.clip(m, 0.0, 1.0), g)
@@ -533,9 +483,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                   + np.float32(REC709[2]) * out_lin[2:3])
             ratio = jnp.clip(yb / jnp.maximum(ya, np.float32(1e-6)), 0.5, 2.0)
             out_lin = out_lin * ratio
-        if use_gather:
-            m = _lut(out_lin, 1)
-        elif s.lut_exact:
+        if s.lut_exact:
             m = _pow(_quantize_lut(out_lin), 1.0 / g)
         else:
             m = _pow(jnp.clip(out_lin, 0.0, 1.0), 1.0 / g)
@@ -557,12 +505,18 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
 
     if s.emit == "bf16_255":
         out_ref[...] = jnp.rint(m * np.float32(255.0)).astype(jnp.bfloat16)[None]
+    elif s.emit == "u8_255":
+        # same integer values as bf16_255 (m is clipped to [0,1] by
+        # every epilogue stage, so rint lands in [0, 255]); Mosaic has
+        # no f32->u8 cast, hop through i32 (lossless on the int grid)
+        v = jnp.rint(m * np.float32(255.0))
+        out_ref[...] = v.astype(jnp.int32).astype(jnp.uint8)[None]
     else:
         out_ref[...] = m[None]
 
 
 def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
-                   vx2=None, tri=None, luts=None, flicker=None,
+                   vx2=None, tri=None, flicker=None,
                    interpret: bool = False):
     """Run the fused stripe pipeline.
 
@@ -571,8 +525,6 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
     sl: (B, H, 1) f32 final scanline multiplier      [spec.scanlines]
     vy2/vx2: (H, 1)/(1, W) f32 vignette r^2 vectors  [spec.vignette]
     tri: (3, 1, W) f32 triad mask                    [spec.triad]
-    luts: (2, W) f32 pow tables on the LUT_N grid,   [spec.triad_gather]
-        row 0 = x^gamma, row 1 = x^(1/gamma), zero-padded past LUT_N+1
     flicker: (B, 1) f32 per-frame gain               [spec.flicker]
     Returns (B, 3, H, W): f32 [0,1] or bf16 [0,255] per spec.emit.
     """
@@ -598,14 +550,12 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
     if spec.triad:
         in_specs.append(pl.BlockSpec((3, 1, w), lambda p, bb: (0, 0, 0)))
         args.append(tri)
-    if spec.triad_gather:
-        in_specs.append(pl.BlockSpec((2, w), lambda p, bb: (0, 0)))
-        args.append(luts)
     if spec.flicker:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(flicker)
 
-    out_dt = jnp.bfloat16 if spec.emit == "bf16_255" else jnp.float32
+    out_dt = {"bf16_255": jnp.bfloat16, "u8_255": jnp.uint8,
+              "f32": jnp.float32}[spec.emit]
     # Mosaic's default scoped-vmem limit is 16 MB; tall stripes (ty=40
     # at 1080p needs ~18.4 MB live) are legal on v5e (128 MB VMEM) by
     # raising the per-kernel limit. Charge the same liveness model as

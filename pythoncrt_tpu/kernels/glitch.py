@@ -29,7 +29,6 @@ and HIGHEST-precision f32 matmuls (6.1 ms vs 4.4 ms for this kernel).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -97,25 +96,9 @@ def _glitch_kernel_window(band_ref, u_ref, out_ref, *, w: int, exact: bool):
             out_ref[0, :, r, jt * TX:(jt + 1) * TX] = acc
 
 
-def _glitch_kernel_gather(band_ref, u_ref, out_ref, *, w: int):
-    # tpu.dynamic_gather variant: the shear IS a per-row lane gather, so
-    # one same-shape take_along_axis moves every band value verbatim —
-    # EXACT (no bf16 value split at all) and no MACs. Mosaic requires
-    # operand shape == index shape: channels and rows flatten into the
-    # sublane axis and u broadcasts across channels. u_ref carries the
-    # WRAPPED source columns in [0, W).
-    band = band_ref[0]  # (3, TR, W) f32
-    u = u_ref[0]  # (TR, W) int32
-    flat = band.reshape(3 * TR, w)
-    idx = jnp.broadcast_to(u[None], (3, TR, w)).reshape(3 * TR, w)
-    out_ref[0] = jnp.take_along_axis(
-        flat, idx, axis=1, mode="promise_in_bounds"
-    ).reshape(3, TR, w)
-
-
 def shear_planar(
     band: jax.Array, u: jax.Array, interpret: bool = False, exact: bool = True,
-    window: bool = False, gather: bool = False,
+    window: bool = False,
 ) -> jax.Array:
     """band (B, 3, R, W) f32; u (B, R, W) int32 source columns:
     out[b, c, r, x] = band[b, c, r, u[b, r, x] mod W].
@@ -123,26 +106,10 @@ def shear_planar(
 
     window=True uses the bounded-window kernel: u must be UNWRAPPED
     x + off with off in [-CLAMP, CLAMP] (callers check; shear_band_batched
-    routes violating batches to the exact fallback).
-
-    gather=True uses the dynamic_gather kernel (u wrapped, any offset,
-    bitwise exact); it overrides window/exact."""
+    routes violating batches to the exact fallback)."""
     b, _, r, w = band.shape
     assert r % TR == 0 and w % 128 == 0, (r, w)
     grid = (b, r // TR)
-    if gather:
-        kern = functools.partial(_glitch_kernel_gather, w=w)
-        return pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 3, TR, w), lambda bb, rb: (bb, 0, rb, 0)),
-                pl.BlockSpec((1, TR, w), lambda bb, rb: (bb, rb, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 3, TR, w), lambda bb, rb: (bb, 0, rb, 0)),
-            out_shape=jax.ShapeDtypeStruct(band.shape, jnp.float32),
-            interpret=interpret,
-        )(band, u)
     kern = _glitch_kernel_window if window else _glitch_kernel
     return pl.pallas_call(
         functools.partial(kern, w=w, exact=exact),
@@ -190,24 +157,19 @@ def shear_band_batched(
         u_wrapped = jnp.concatenate([ident, u_wrapped], axis=1)
 
     band = jnp.transpose(imgs[:, y0p:], (0, 3, 1, 2))  # (B, 3, RP, W)
-    if os.environ.get("PCRT_GLITCH_GATHER") == "1":
-        # dynamic_gather path: exact for ANY offset (wrapped indices),
-        # so no bounded-window cond is needed at all.
-        out_band = shear_planar(band, u_wrapped, interpret, gather=True)
-    else:
-        # Bounded-window fast path when every offset fits +-CLAMP (the
-        # reference's Gaussian draws exceed 128 px only at absurd sigma —
-        # ~7 sigma even at amp 24 — but the runtime cond keeps parity
-        # unconditional: oversized draws take the full-width kernel).
-        fits = jnp.all(jnp.abs(offw) <= CLAMP)
-        out_band = jax.lax.cond(
-            fits,
-            lambda bd, uu, uw: shear_planar(bd, uu, interpret, exact,
-                                            window=True),
-            lambda bd, uu, uw: shear_planar(bd, uw, interpret, exact,
-                                            window=False),
-            band, u_unwrapped, u_wrapped,
-        )
+    # Bounded-window fast path when every offset fits +-CLAMP (the
+    # reference's Gaussian draws exceed 128 px only at absurd sigma —
+    # ~7 sigma even at amp 24 — but the runtime cond keeps parity
+    # unconditional: oversized draws take the full-width kernel).
+    fits = jnp.all(jnp.abs(offw) <= CLAMP)
+    out_band = jax.lax.cond(
+        fits,
+        lambda bd, uu, uw: shear_planar(bd, uu, interpret, exact,
+                                        window=True),
+        lambda bd, uu, uw: shear_planar(bd, uw, interpret, exact,
+                                        window=False),
+        band, u_unwrapped, u_wrapped,
+    )
     out_band = jnp.transpose(out_band, (0, 2, 3, 1))  # (B, RP, W, 3)
     # keep ORIGINAL rows above y0 (the pad rows went through the kernel
     # only to satisfy the 8-row grid; their values must pass through

@@ -341,7 +341,7 @@ def _warp_kernel(
     byp: int, wxp: int, d: int, wxd: int, pad: int, exact: bool,
     split: bool, row_align: int = 8, int_domain: bool = False,
     interpret: bool = False, debug: str = "", fpp: int = 1,
-    aliased: bool = False, nbuf: int = 3,
+    aliased: bool = False, nbuf: int = 3, emit_u8: bool = False,
 ):
     refs = refs[1:] if aliased else refs  # skip the pass-through input
     if exact:
@@ -365,10 +365,22 @@ def _warp_kernel(
     # ablation measured DMA and compute nearly ADDITIVE at depth 3)
     slot = jax.lax.rem(t, nbuf)
 
+    out_dt = jnp.uint8 if emit_u8 else jnp.float32
+
+    def emit(v):
+        # emit_u8: the engine's final clip(rint(x)) -> uint8 cast
+        # (stage-15 epilogue) fused into the output store — the same op
+        # order _finish applies, so bytes are identical; Mosaic has no
+        # f32->u8 cast, hop through i32 (lossless on the int grid).
+        if not emit_u8:
+            return v
+        return (jnp.clip(jnp.rint(v), 0.0, 255.0)
+                .astype(jnp.int32).astype(jnp.uint8))
+
     if debug == "noop":  # timing probe: per-program overhead floor
         for f_ in range(fpp):
             for c_ in range(3):
-                out_ref[f_, c_] = jnp.zeros((TY, TX), jnp.float32)
+                out_ref[f_, c_] = jnp.zeros((TY, TX), out_dt)
         return
 
     def start_window_dma(tt, sl):
@@ -418,37 +430,34 @@ def _warp_kernel(
     if debug == "dma":  # timing probe: DMA + store only (WRONG output)
         for f_ in range(fpp):
             for c_ in range(3):
-                out_ref[f_, c_] = win_ref[slot, f_, c_, :TY, :TX].astype(jnp.float32)
+                blk = win_ref[slot, f_, c_, :TY, :TX]
+                if blk.dtype == jnp.uint8:  # no direct u8->f32 in Mosaic
+                    blk = blk.astype(jnp.int32)
+                out_ref[f_, c_] = emit(blk.astype(jnp.float32))
         return
-    # (bitcast is Mosaic-only, so the interpret path covers f32 only)
-    gather_roll = debug != "rotroll" and not (interpret and int_domain) \
-        and os.environ.get("PCRT_WARP_GATHER_ROLL") == "1"
-    if gather_roll:
-        # De-offset as ONE lane gather (tpu.dynamic_gather) instead of
-        # the multi-pass dynamic rotate: rolled[k] = full[(k+off) mod N]
-        # with a shared per-row index vector. Values move verbatim.
-        # bf16 windows ride the same i32 bitcast as the rotate path
-        # (pairs sublanes, lanes map 1:1) so one gather moves two rows.
-        src = pltpu.bitcast(full, jnp.int32) if int_domain else full
-        rows = int(np.prod(src.shape[:-1]))
-        flat = src.reshape(rows, wxpf)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, wxpf), 1)
-        idx = jax.lax.rem(lanes + off, wxpf)
-        rolled = jnp.take_along_axis(
-            flat, idx, axis=1, mode="promise_in_bounds").reshape(src.shape)
-        if int_domain:
-            rolled = pltpu.bitcast(rolled, jnp.bfloat16)
-    elif int_domain and not interpret:
-        # Mosaic has no 16-bit dynamic rotate. Bitcast the bf16 window
-        # to i32: packing pairs SUBLANES (rows 2i, 2i+1 -> i32 row i),
-        # so lanes map 1:1 and a 32-bit lane rotate rotates the bf16
-        # lanes exactly (byp is even by construction: byp = h mod 16).
+    if int_domain and not interpret:
+        # Mosaic has no sub-32-bit dynamic rotate. Bitcast the window
+        # to i32: packing groups SUBLANES (2 bf16 rows or 4 u8 rows per
+        # i32 row), so lanes map 1:1 and a 32-bit lane rotate rotates
+        # the narrow-dtype lanes exactly (byp is a multiple of 8 by
+        # construction, covering both pack factors).
         packed = pltpu.bitcast(full, jnp.int32)
         rolled = pltpu.bitcast(
-            pltpu.roll(packed, wxpf - off, axis=3), jnp.bfloat16
+            pltpu.roll(packed, wxpf - off, axis=3), full.dtype
         )
     else:
         rolled = pltpu.roll(full, wxpf - off, axis=3)
+
+    def to_mxu(wv):
+        # u8 windows halve the DMA bytes; the MXU still wants bf16.
+        # Integers <= 255 are exact in bf16; no direct u8->bf16 cast in
+        # Mosaic, so hop through i32/f32 (lossless on the int grid).
+        # Applied AFTER the wxd/128-lane slice so only matmul operand
+        # columns pay the cast, not the full wxpf window.
+        if wv.dtype == jnp.uint8:
+            return wv.astype(jnp.int32).astype(jnp.float32) \
+                .astype(jnp.bfloat16)
+        return wv
 
     def matmul3(wv, mh, ml):
         """Hand-rolled bf16 split (Mosaic lacks Precision.HIGHEST).
@@ -488,12 +497,12 @@ def _warp_kernel(
         # is a single 128-lane window slice (K=128, no Mosaic K-pad —
         # half the MACs of the K=WXD->256 path).
         for hf in range(2):
-            wv = rolled[:, :, :, hf * HTX:hf * HTX + 128].reshape(
+            wv = to_mxu(rolled[:, :, :, hf * HTX:hf * HTX + 128]).reshape(
                 fpp * 3 * byp, 128)
             mh = mhi_ref[0, hf]  # (128, TY*HTX)
             ml = mlo_ref[0, hf] if exact else None
             acc = matmul3(wv, mh, ml).reshape(fpp, 3, byp, TY * HTX)
-            res = jnp.sum(acc * my_ref[0, :, hf][None, None], axis=2)
+            res = emit(jnp.sum(acc * my_ref[0, :, hf][None, None], axis=2))
             for f in range(fpp):
                 for r in range(TY):  # row stores, no relayout
                     out_ref[f, :, r, hf * HTX:(hf + 1) * HTX] = (
@@ -503,11 +512,11 @@ def _warp_kernel(
         # Frames and channels fold into the matmul's M dimension:
         # (FPP*3*BYP, WXD) @ (WXD, TY*TX) resolves the x-taps for the
         # whole band in ONE MXU op per pass.
-        win2 = rolled[:, :, :, :wxd].reshape(fpp * 3 * byp, wxd)
+        win2 = to_mxu(rolled[:, :, :, :wxd]).reshape(fpp * 3 * byp, wxd)
         m_hi = mhi_ref[0]  # (WXD, TY*TX): all 8 row-masks side by side
         acc = matmul3(win2, m_hi, mlo_ref[0] if exact else None)
-        res = jnp.sum(acc.reshape(fpp, 3, byp, TY * TX) * my_ref[0][None, None],
-                      axis=2)
+        res = emit(jnp.sum(acc.reshape(fpp, 3, byp, TY * TX)
+                           * my_ref[0][None, None], axis=2))
         for f in range(fpp):
             for r in range(TY):  # row stores, no relayout
                 out_ref[f, :, r, :] = res[f, :, r * TX:(r + 1) * TX]
@@ -521,14 +530,21 @@ def warp_planar(
     exact: bool = True,
     int_domain: bool = False,
     debug: str = "",
+    emit_u8: bool = False,
 ) -> jax.Array:
     """(B, 3, H, W) barrel-warped -> (B, 3, H, W) f32. (Not jitted
     itself — callers trace it inside the engine's jitted step.)
 
-    int_domain: input is bf16 on the integer grid [0, 255] (exact in
-    bf16) and the output is f32 in the same [0, 255] domain; window DMA
-    and the VMEM scratch halve, and exact mode needs 2 matmul passes
-    instead of 3 (see matmul3). Unit domain: f32 in [0, 1] both ways.
+    int_domain: input is bf16 (or uint8) on the integer grid [0, 255]
+    (exact in bf16) and the output is f32 in the same [0, 255] domain;
+    window DMA and the VMEM scratch shrink 2x/4x, and exact mode needs
+    2 matmul passes instead of 3 (see matmul3). Unit domain: f32 in
+    [0, 1] both ways.
+
+    emit_u8 (int_domain only): fold the engine's final
+    clip(rint(x)) -> uint8 epilogue into the kernel's output store
+    (byte-identical; 4x smaller output writes). Only valid when the
+    warp is the last stage before the uint8 cast.
 
     masks: the (m_hi, m_lo) pair from build_warp_masks. The engine
     builds them ONCE per config and passes them as jit arguments (they
@@ -539,11 +555,15 @@ def warp_planar(
     t = tables
     yt, xt = t.grid
     if int_domain:
-        if imgs.dtype != jnp.bfloat16:
-            raise ValueError(f"int_domain expects bf16 input, got {imgs.dtype}")
-        if t.byp % 2:
-            raise ValueError("int_domain needs an even window row count "
-                             "(the de-offset roll runs on i32-paired rows)")
+        if imgs.dtype not in (jnp.bfloat16, jnp.uint8):
+            raise ValueError(f"int_domain expects bf16/u8 input, got {imgs.dtype}")
+        packf = 4 if imgs.dtype == jnp.uint8 else 2
+        if t.byp % packf:
+            raise ValueError("int_domain needs the window row count to be "
+                             f"a multiple of {packf} (the de-offset roll "
+                             "runs on i32-packed rows)")
+    elif emit_u8:
+        raise ValueError("emit_u8 requires int_domain")
     if masks is None:
         masks = build_warp_masks(t.dxl, t.dxr, t.wx0, t.wx1,
                                  t.ylrel, t.yrrel, t.wy0, t.wy1,
@@ -585,14 +605,12 @@ def warp_planar(
     # xprof trace put the FIXED per-program cost at ~1.4 us (354 us/f of
     # pure overhead at fpp=8 across 2025 tiles); fpp=16 halves the
     # program count at ~6 MB of VMEM scratch (budget ~16 MB).
-    import os as _os
-
-    fpp = next(f for f in (int(_os.environ.get("PCRT_WARP_FPP", "16")),
+    fpp = next(f for f in (int(os.environ.get("PCRT_WARP_FPP", "16")),
                            16, 8, 4, 2, 1) if b % f == 0)
     # depth >= 2 required: at nbuf=1 program 0's window DMA would start
     # twice (the t==0 prologue AND the steady-state t+nbuf-1 issue hit
     # the same slot), desynchronizing the semaphore
-    nbuf = max(2, int(_os.environ.get("PCRT_WARP_NBUF", "3")))
+    nbuf = max(2, int(os.environ.get("PCRT_WARP_NBUF", "3")))
     by2, wx2, off2 = t.by, t.wx, t.off
     out = None
     for byp_c, sel in classes:
@@ -632,7 +650,7 @@ def warp_planar(
                     bb, 0, iar[p], jar[p])),
             scratch_shapes=[
                 pltpu.VMEM((nbuf, fpp, 3, byp_c, t.wxpf),
-                           jnp.bfloat16 if int_domain else jnp.float32),
+                           imgs.dtype if int_domain else jnp.float32),
                 pltpu.SemaphoreType.DMA((nbuf,)),
             ],
         )
@@ -640,13 +658,14 @@ def warp_planar(
             _warp_kernel, byp=byp_c, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad,
             exact=exact, split=t.split, row_align=t.row_align,
             int_domain=int_domain, interpret=interpret, debug=debug, fpp=fpp,
-            aliased=aliased, nbuf=nbuf,
+            aliased=aliased, nbuf=nbuf, emit_u8=emit_u8,
         )
         operands = [imgs] + ([out] if aliased else []) + list(masks)
         # raise Mosaic's 16 MB scoped-vmem default when the window
         # scratch + working set outgrows it (fpp=32 needs ~19 MB at
         # 1080p); charge 2x the scratch estimate for Mosaic temporaries
-        scratch_b = nbuf * fpp * 3 * byp_c * t.wxpf * (2 if int_domain else 4)
+        scratch_b = (nbuf * fpp * 3 * byp_c * t.wxpf
+                     * (imgs.dtype.itemsize if int_domain else 4))
         params = {}
         if scratch_b > (6 << 20):
             params["compiler_params"] = pltpu.CompilerParams(
@@ -654,7 +673,8 @@ def warp_planar(
         out = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b, 3, t.h, t.w), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, 3, t.h, t.w), jnp.uint8 if emit_u8 else jnp.float32),
             # alias the previous class's output: this call only writes
             # its own tiles; the donated buffer keeps the rest
             input_output_aliases={6: 0} if aliased else {},
@@ -680,6 +700,7 @@ def warp_nhwc(
     int_domain: bool = False,
     emit_scaled: bool = False,
     debug: str = "",
+    emit_u8: bool = False,
 ) -> jax.Array:
     """(B, H, W, 3) f32 in [0, 1] -> warped f32, via the planar kernel.
 
@@ -694,18 +715,22 @@ def warp_nhwc(
     emit_scaled (int_domain only): skip the /255 normalization and
     return f32 in [0, 255] — for configs where warp is the last stage
     before the uint8 cast, whose rint then fuses directly on this.
+    emit_u8 (implies emit_scaled): fold that rint+cast into the kernel
+    store and return NHWC uint8 directly.
     """
     if not int_domain:
-        if emit_scaled:
-            raise ValueError("emit_scaled requires int_domain")
+        if emit_scaled or emit_u8:
+            raise ValueError("emit_scaled/emit_u8 require int_domain")
         planar = jnp.transpose(imgs, (0, 3, 1, 2))
         out = warp_planar(planar, tables, masks, interpret, exact)
         return jnp.transpose(out, (0, 2, 3, 1))
-    ints = jnp.rint(imgs * np.float32(255.0)).astype(jnp.bfloat16)
+    feed_dt = (jnp.bfloat16 if os.environ.get("PCRT_WARP_FEED") == "bf16"
+               else jnp.uint8)  # u8 halves the window DMA bytes
+    ints = jnp.rint(imgs * np.float32(255.0)).astype(feed_dt)
     planar = jnp.transpose(ints, (0, 3, 1, 2))
     out = warp_planar(planar, tables, masks, interpret, exact, int_domain=True,
-                      debug=debug)
+                      debug=debug, emit_u8=emit_u8)
     out = jnp.transpose(out, (0, 2, 3, 1))
-    if emit_scaled:
+    if emit_scaled or emit_u8:
         return out
     return out * np.float32(1.0 / 255.0)

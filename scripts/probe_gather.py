@@ -41,7 +41,8 @@ def probe(shape, axis, dtype, idtype=jnp.int32, ishape=None, imax=None):
     try:
         out = np.asarray(f(tbl, idx))
     except Exception as e:  # noqa: BLE001
-        msg = str(e).splitlines()[0][:120]
+        lines = str(e).splitlines() or [type(e).__name__]
+        msg = (lines[0] or type(e).__name__)[:120]
         print(f"  {shape} axis={axis} {np.dtype(dtype).name}/{np.dtype(idtype).name}: FAIL {msg}")
         return False
     ref = np.take_along_axis(tbl, idx, axis=axis)

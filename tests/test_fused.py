@@ -101,13 +101,23 @@ def test_fused_matches_per_stage_and_oracle(name):
             f"{name}: fused vs per-stage max {dps.max()}, "
             f"frac {(dps > 0).mean():.2e}"
         )
-        # the carried f32 state may differ by FMA-contraction ulps
-        # (the blur's mul+add chains contract differently between the
-        # fused kernel and XLA's fusion choices — same class as the
-        # bloom3 contract in PARITY.md); the u8 output above is bitwise
-        np.testing.assert_allclose(
-            np.asarray(state), np.asarray(ref_state), rtol=0, atol=2e-6
-        )
+        if getattr(eng, "_warp_emit_u8", False):
+            # the uint8 cast folded into the warp kernel: the carried
+            # state is the QUANTIZED last frame by construction —
+            # assert exactly that (it can differ from ref_state by the
+            # same isolated ulps the outputs may)
+            np.testing.assert_array_equal(
+                np.rint(np.asarray(state) * 255.0).astype(np.uint8),
+                got[-1])
+        else:
+            # the carried f32 state may differ by FMA-contraction ulps
+            # (the blur's mul+add chains contract differently between
+            # the fused kernel and XLA's fusion choices — same class as
+            # the bloom3 contract in PARITY.md); the u8 output above is
+            # bitwise
+            np.testing.assert_allclose(
+                np.asarray(state), np.asarray(ref_state), rtol=0, atol=2e-6
+            )
 
     oracle_want = render_oracle(eng, frames)
     diff = np.abs(got.astype(np.int32) - oracle_want.astype(np.int32))
@@ -148,68 +158,6 @@ def test_fused_native_rng_noise():
         want, _ = build(p, rng="native").process(frames)
     finally:
         del os.environ["PCRT_NO_FUSED"]
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-
-def test_triad_gather_matches_pow():
-    """PCRT_TRIAD_GATHER=1 swaps the triad quantize-then-pow for LUT
-    lane gathers (kernels/fused.py:_lut). The tables are built by the
-    same XLA backend evaluating pow on the identical grid values, so in
-    interpret mode the output bytes must be EXACTLY the pow path's."""
-    wt = 1152  # > LUT_N: the table rides the lane axis
-    p = identity_params(**FULL)
-    frames = synth_frames(B, H, wt, seed=7)
-    os.environ["PCRT_TRIAD_GATHER"] = "1"
-    try:
-        eng = CRTEngine(p, H, wt, FPS, interpret=True, pallas="on", rng="host")
-        assert eng._pallas_fused and eng._fused_spec.triad_gather
-        got, _ = eng.process(frames)
-    finally:
-        del os.environ["PCRT_TRIAD_GATHER"]
-    eng0 = CRTEngine(p, H, wt, FPS, interpret=True, pallas="on", rng="host")
-    assert eng0._pallas_fused and not eng0._fused_spec.triad_gather
-    want, _ = eng0.process(frames)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-    # luma-preserving triad rides the same gathers
-    pl_ = identity_params(**{**FULL, "triad_preserve_luma": True})
-    os.environ["PCRT_TRIAD_GATHER"] = "1"
-    try:
-        engl = CRTEngine(pl_, H, wt, FPS, interpret=True, pallas="on",
-                         rng="host")
-        assert engl._fused_spec.triad_gather
-        gotl, _ = engl.process(frames)
-    finally:
-        del os.environ["PCRT_TRIAD_GATHER"]
-    wantl, _ = CRTEngine(pl_, H, wt, FPS, interpret=True, pallas="on",
-                         rng="host").process(frames)
-    np.testing.assert_array_equal(np.asarray(gotl), np.asarray(wantl))
-
-    # narrow frames can't hold the table: the gate must refuse
-    os.environ["PCRT_TRIAD_GATHER"] = "1"
-    try:
-        engn = build(p)
-        assert engn._pallas_fused and not engn._fused_spec.triad_gather
-    finally:
-        del os.environ["PCRT_TRIAD_GATHER"]
-
-
-def test_fused_nhwc_input_matches_planar():
-    """PCRT_FUSED_NHWC=1 feeds the kernel raw NHWC u8 frames (three
-    per-channel strided window DMAs instead of an XLA transpose pass);
-    output bytes must be identical."""
-    p = identity_params(**FULL)
-    frames = synth_frames(B, H, W, seed=11)
-    os.environ["PCRT_FUSED_NHWC"] = "1"
-    try:
-        eng = build(p)
-        assert eng._pallas_fused and eng._fused_spec.in_nhwc
-        got, _ = eng.process(frames)
-    finally:
-        del os.environ["PCRT_FUSED_NHWC"]
-    eng0 = build(p)
-    assert not eng0._fused_spec.in_nhwc
-    want, _ = eng0.process(frames)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 

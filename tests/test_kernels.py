@@ -23,24 +23,6 @@ def test_warp_kernel_matches_oracle(strength, rng):
         assert err < 2e-5, f"strength={strength} err={err}"
 
 
-def test_warp_gather_roll_matches(rng):
-    """PCRT_WARP_GATHER_ROLL=1 swaps the dynamic de-offset rotate for a
-    lane gather — values move verbatim, so the output must be bitwise
-    the rotate path's (f32 interpret path; the bf16 bitcast variant is
-    Mosaic-only and is covered by the on-chip parity scripts)."""
-    import os
-
-    imgs = rng.random((2, H, W, 3), dtype=np.float32)
-    tables = kwarp.build_warp_tables(H, W, 0.15)
-    want = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
-    os.environ["PCRT_WARP_GATHER_ROLL"] = "1"
-    try:
-        got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
-    finally:
-        del os.environ["PCRT_WARP_GATHER_ROLL"]
-    np.testing.assert_array_equal(got, want)
-
-
 @pytest.mark.parametrize("strength", [0.1, 0.3])
 def test_warp_kernel_split_path(strength, rng):
     """The K=128 half-tile split must engage at small strengths (d <= 64)
@@ -448,34 +430,6 @@ class TestGlitchKernel:
         got = np.asarray(kglitch.shear_band_batched(imgs, y0, offs, W, interpret=True))
         want = oracle.apply_glitch_gather(imgs[0], y0, offs[0, :, 0])
         np.testing.assert_allclose(got[0], want, atol=1e-5)
-
-    def test_shear_gather_kernel_exact(self, rng):
-        """PCRT_GLITCH_GATHER=1: the dynamic_gather kernel moves values
-        verbatim — BITWISE equal to the oracle's take_along_axis (the
-        matmul kernels only promise ~2^-17)."""
-        import os
-
-        from pythoncrt_tpu.kernels import glitch as kglitch
-
-        B, H, W, L = 2, 48, 256, 16
-        imgs = rng.random((B, H, W, 3), dtype=np.float32)
-        y0 = 20
-        rows = H - y0
-        # mix small and wrapping offsets: one kernel covers both
-        seg_offs = rng.normal(0, 90, (B, rows, W // L)).astype(np.float32)
-        os.environ["PCRT_GLITCH_GATHER"] = "1"
-        try:
-            got = np.asarray(
-                kglitch.shear_band_batched(imgs, y0, seg_offs, L,
-                                           interpret=True)
-            )
-        finally:
-            del os.environ["PCRT_GLITCH_GATHER"]
-        seg_index = np.arange(W) // L
-        for b in range(B):
-            per_px = seg_offs[b][:, seg_index]
-            want = oracle.apply_glitch_gather(imgs[b], y0, per_px)
-            np.testing.assert_array_equal(got[b], want)
 
     @pytest.mark.parametrize("off_val", [128, -128, 129, -129])
     def test_window_clamp_boundary(self, rng, off_val):
