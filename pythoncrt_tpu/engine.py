@@ -547,13 +547,14 @@ class CRTEngine:
             and not p.glitch_on
             and not (self._has_text and p.text.after)
         )
-        # ... and when it is, the uint8 cast itself folds into the
-        # kernel's output store (4x smaller writes + the XLA
-        # clamp/convert pass disappears). PCRT_WARP_U8OUT=0 restores
-        # the f32 [0,255] emit for A/B.
+        # ... and when it is, the uint8 cast CAN fold into the kernel's
+        # output store (PCRT_WARP_U8OUT=1) — but that measured SLOWER
+        # on-chip (738 vs 815 fps c3: u8 stores of 8-row tiles RMW the
+        # (32,128) u8 tiling), so the default keeps the f32 [0,255]
+        # emit + XLA's clamp/convert pass. Opt-in kept for A/B.
         self._warp_emit_u8 = bool(
             self._warp_emit_scaled
-            and os.environ.get("PCRT_WARP_U8OUT", "1") != "0"
+            and os.environ.get("PCRT_WARP_U8OUT") == "1"
         )
 
         self._c = c

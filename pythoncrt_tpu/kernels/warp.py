@@ -605,8 +605,11 @@ def warp_planar(
     # xprof trace put the FIXED per-program cost at ~1.4 us (354 us/f of
     # pure overhead at fpp=8 across 2025 tiles); fpp=16 halves the
     # program count at ~6 MB of VMEM scratch (budget ~16 MB).
-    fpp = next(f for f in (int(os.environ.get("PCRT_WARP_FPP", "16")),
-                           16, 8, 4, 2, 1) if b % f == 0)
+    # fpp=32 became the default once the u8 feed halved the window
+    # scratch (A/B 2026-08-18: 822.0 vs 813.4 fps at fpp=16; at the
+    # round-2 bf16 feed the same flip measured neutral-to-negative).
+    fpp = next(f for f in (int(os.environ.get("PCRT_WARP_FPP", "32")),
+                           32, 16, 8, 4, 2, 1) if b % f == 0)
     # depth >= 2 required: at nbuf=1 program 0's window DMA would start
     # twice (the t==0 prologue AND the steady-state t+nbuf-1 issue hit
     # the same slot), desynchronizing the semaphore

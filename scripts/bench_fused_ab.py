@@ -31,8 +31,8 @@ VARIANTS = {
     "nbuf6": {"PCRT_WARP_NBUF": "6"},
     "fpp32": {"PCRT_WARP_FPP": "32"},
     "fpp8": {"PCRT_WARP_FPP": "8"},
-    "feed_bf16": {"PCRT_WARP_FEED": "bf16", "PCRT_WARP_U8OUT": "0"},
-    "u8out_off": {"PCRT_WARP_U8OUT": "0"},
+    "feed_bf16": {"PCRT_WARP_FEED": "bf16"},
+    "u8out_on": {"PCRT_WARP_U8OUT": "1"},
     "ty40+fpp32": {"PCRT_FUSED_TY": "40", "PCRT_WARP_FPP": "32"},
 }
 

@@ -161,6 +161,49 @@ def test_fused_native_rng_noise():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_warp_feed_dtype_equivalence():
+    """The fused kernel hands the warp stage rint(m*255) as uint8 by
+    default (half the window-DMA bytes); PCRT_WARP_FEED=bf16 restores
+    the round-2 bf16 feed. Integers <= 255 are exact in both dtypes,
+    so the output bytes must be IDENTICAL."""
+    p = identity_params(**FULL)
+    frames = synth_frames(B, H, W, seed=13)
+    eng = build(p)
+    assert eng._fused_spec.emit == "u8_255"
+    got, _ = eng.process(frames)
+    os.environ["PCRT_WARP_FEED"] = "bf16"
+    try:
+        engb = build(p)
+        assert engb._fused_spec.emit == "bf16_255"
+        want, _ = engb.process(frames)
+    finally:
+        del os.environ["PCRT_WARP_FEED"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_warp_emit_u8_opt_in():
+    """PCRT_WARP_U8OUT=1 folds the final clip(rint)->uint8 cast into
+    the warp kernel's output store (measured slower on-chip — the u8
+    tiling RMWs — but kept for A/B). Byte-identical by construction."""
+    p = identity_params(**FULL)
+    frames = synth_frames(B, H, W, seed=17)
+    eng = build(p)
+    assert eng._warp_emit_scaled and not eng._warp_emit_u8
+    want, _ = eng.process(frames)
+    os.environ["PCRT_WARP_U8OUT"] = "1"
+    try:
+        engu = build(p)
+        assert engu._warp_emit_u8
+        got, state = engu.process(frames)
+    finally:
+        del os.environ["PCRT_WARP_U8OUT"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # the carried state is the quantized last frame by construction
+    np.testing.assert_array_equal(
+        np.rint(np.asarray(state) * 255.0).astype(np.uint8),
+        np.asarray(got)[-1])
+
+
 def test_fused_off_on_cpu_backend():
     """Without interpret (and off-TPU), the fused path must not engage
     in auto mode — CPU XLA serves the whole chain."""
