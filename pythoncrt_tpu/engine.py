@@ -446,8 +446,29 @@ class CRTEngine:
             g = max(1, int(p.grain_size))
             self._grain_hw = (max(1, h // g), max(1, w // g)) if g > 1 else (h, w)
             self._grain_mx = False
+            self._grain_roll = False
             if g > 1:
                 gh, gw = self._grain_hw
+                # Exact-2x upsample as repeat + static rolls
+                # (ops/resize.py:resize2x_roll): f32 lerps in the
+                # oracle's tap order, BITWISE equal to the numpy oracle
+                # (tests/test_kernels.py). Measured SLOWER on-chip than
+                # the two MXU dots it was meant to replace (c3 677 vs
+                # 820 fps, 2026-08-18: XLA materializes the roll/select
+                # chain as several full-res passes instead of one
+                # fusion), so it is opt-in (PCRT_GRAIN_ROLL=1) — useful
+                # when bit-exactness of the grain field matters more
+                # than speed (the mx form truncates the field to bf16).
+                roll_ok = (g == 2 and h == 2 * gh and w == 2 * gw
+                           and os.environ.get("PCRT_GRAIN_ROLL") == "1")
+                if roll_ok:
+                    self._grain_roll = True
+                    ylo, yf = oops.bilinear_taps(gh, h)
+                    xlo, xf = oops.bilinear_taps(gw, w)
+                    c["grain_wy"] = (jnp.asarray((1.0 - yf).reshape(h, 1)),
+                                     jnp.asarray(yf.reshape(h, 1)))
+                    c["grain_wx"] = (jnp.asarray((1.0 - xf).reshape(1, w)),
+                                     jnp.asarray(xf.reshape(1, w)))
                 # The matmul form is contract-safe only where its bf16
                 # input truncation stays under the 1-LSB budget: err_u8
                 # ~ 2^-9 * |field| * noise_strength <= 5*strength/512,
@@ -455,7 +476,9 @@ class CRTEngine:
                 # 0.25/0.75). Outside that envelope, keep the gathers.
                 mx_ok = (g == 2 and p.noise_strength <= 32.0
                          and os.environ.get("PCRT_GRAIN_GATHER") != "1")
-                if not mx_ok:
+                if roll_ok:
+                    pass
+                elif not mx_ok:
                     c["grain_taps"] = tuple(jnp.asarray(a) for a in
                                             (*oops.bilinear_taps(gh, h), *oops.bilinear_taps(gw, w)))
                 else:
@@ -697,7 +720,10 @@ class CRTEngine:
         else:
             field = noise
         if p.grain_size > 1:
-            if self._grain_mx:
+            if self._grain_roll:
+                field = oresize.resize2x_roll(field, *c["grain_wy"],
+                                              *c["grain_wx"])
+            elif self._grain_mx:
                 field = (c["grain_rh"] @ field) @ c["grain_rw"]
             else:
                 field = oresize.resize_bilinear(field, *c["grain_taps"])

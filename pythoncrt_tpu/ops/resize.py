@@ -80,6 +80,41 @@ def remap_nearest_rolls(img: jnp.ndarray, y_map, x_map,
     return out
 
 
+def resize2x_roll(f, wy_lo, wy_hi, wx_lo, wx_hi):
+    """Exact 2x bilinear upsample (dst == 2*src per axis) as repeat +
+    static rolls — no gathers, so XLA fuses the whole resize into the
+    surrounding elementwise chain (the take-based form lowers to row/col
+    gathers = fusion barriers; the bf16-matmul form costs two MXU dots
+    and truncates the field to bf16).
+
+    Arithmetic is bit-identical to resize_bilinear with
+    oracle.ops.bilinear_taps weights (crt_filter.py:642 grain upsample):
+    same f32 lerp `lo*(1-frac) + hi*frac`, same rows-then-cols order.
+    For dst=2*src the taps are periodic — even outputs read (k-1, k) at
+    frac .75, odd read (k, k+1) at frac .25 — so `repeat` + three rolls
+    place every tap; the first/last outputs clamp (their stray-tap
+    weights are exactly 0.0 or the row-0 override applies), matching the
+    oracle's edge-clamp. Callers pass the ACTUAL (1-frac)/frac vectors
+    from bilinear_taps, pre-shaped ((h,1) rows, (1,w) cols).
+    """
+    h = 2 * f.shape[0]
+    w = 2 * f.shape[1]
+
+    def axis_pass(r, ax, n, w_lo, w_hi):
+        i = jnp.arange(n, dtype=jnp.int32)
+        even = (i % 2 == 0).reshape([n, 1] if ax == 0 else [1, n])
+        lo = jnp.where(even, jnp.roll(r, 2, axis=ax), jnp.roll(r, 1, axis=ax))
+        first = (i == 0).reshape(even.shape)
+        lo = jnp.where(first, jnp.take(r, jnp.array([0]), axis=ax), lo)
+        hi = jnp.where(even, r, jnp.roll(r, -1, axis=ax))
+        last = (i == n - 1).reshape(even.shape)
+        hi = jnp.where(last, jnp.take(r, jnp.array([n - 1]), axis=ax), hi)
+        return lo * w_lo + hi * w_hi
+
+    rows = axis_pass(jnp.repeat(f, 2, axis=0), 0, h, wy_lo, wy_hi)
+    return axis_pass(jnp.repeat(rows, 2, axis=1), 1, w, wx_lo, wx_hi)
+
+
 def resize_bilinear_axis0(img, lo, frac):
     """2-tap lerp along axis 0. lo: int32 [out], frac: f32 [out]."""
     h = img.shape[0]

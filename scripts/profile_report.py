@@ -33,24 +33,54 @@ def main() -> None:
     data, _ = r2t.xspace_to_tool_data([path], "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    rows = json.loads(data)
-    # rows: list of dicts (first entries may carry metadata); normalize
-    table = [r for r in rows if isinstance(r, dict) and "selfTimeUs" in r
-             or isinstance(r, dict) and "self_time_us" in r]
+    parsed = json.loads(data)
+
+    table = []
+    if parsed and isinstance(parsed, list) and isinstance(parsed[0], dict) \
+            and "cols" in parsed[0]:
+        # gviz DataTable list (xprof >= 2.x): pick the table whose cols
+        # include a self-time column, map rows by column id
+        for t in parsed:
+            ids = [c.get("id") for c in t.get("cols", [])]
+            if not any("self" in (i or "") for i in ids):
+                continue
+            for r in t.get("rows", []):
+                vals = dict(zip(ids, [c.get("v") for c in r.get("c", [])]))
+                st = next((vals[i] for i in ids if i and "self_time" in i
+                           and "percent" not in i and "cumulative" not in i),
+                          None)
+                if st is None:
+                    continue
+                table.append({
+                    "name": vals.get("operation") or vals.get("name", ""),
+                    "category": vals.get("type")
+                    or vals.get("category", ""),
+                    "self": float(st),
+                    "n": vals.get("occurrences", ""),
+                })
+            if table:
+                break
+    else:  # legacy flat-dict rows
+        for r in parsed:
+            if isinstance(r, dict) and ("selfTimeUs" in r
+                                        or "self_time_us" in r):
+                table.append({
+                    "name": r.get("name") or r.get("opName", ""),
+                    "category": r.get("category", ""),
+                    "self": float(r.get("selfTimeUs",
+                                        r.get("self_time_us", 0.0))),
+                    "n": r.get("occurrences", ""),
+                })
     if not table:
-        # fall back: dump whatever structure came back
-        print(json.dumps(rows[:3], indent=2)[:4000])
+        print(json.dumps(parsed[:3], indent=2)[:4000])
         return
-    key = "selfTimeUs" if "selfTimeUs" in table[0] else "self_time_us"
-    name_k = "name" if "name" in table[0] else "opName"
-    table.sort(key=lambda r: -float(r.get(key, 0.0)))
-    tot = sum(float(r.get(key, 0.0)) for r in table)
+    table.sort(key=lambda r: -r["self"])
+    tot = sum(r["self"] for r in table)
     print(f"total self time: {tot / 1e3:.3f} ms")
     for r in table[:top]:
-        t = float(r.get(key, 0.0))
-        print(f"{t / 1e3:9.3f} ms {100 * t / max(tot, 1e-9):5.1f}%  "
-              f"{str(r.get('category', ''))[:18]:18s} "
-              f"{str(r.get(name_k, ''))[:90]}")
+        print(f"{r['self'] / 1e3:9.3f} ms {100 * r['self'] / max(tot, 1e-9):5.1f}%  "
+              f"x{str(r['n']):>5s} {str(r['category'])[:14]:14s} "
+              f"{str(r['name'])[:90]}")
 
 
 if __name__ == "__main__":
