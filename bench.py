@@ -163,7 +163,12 @@ def bench_c5(quick=False, iters=3):
     from pythoncrt_tpu.engine import CRTEngine
     from pythoncrt_tpu.parallel import MultiClipEngine, make_mesh
 
-    h, w, c, b = (540, 960, 1, 4) if quick else (2160, 3840, 1, 4)
+    # 32 frames per step (4 clips x 8), matching bench_engine's batch:
+    # the round-3 "c5 wrapper gap" (218 vs plain 311 fps) was a harness
+    # artifact of stepping 16 frames while the plain engine stepped 32 —
+    # at equal frames/step the clip-sharded wrapper measures FASTER
+    # (340.0 vs 311, 2026-08-18: one persistence launch walks all clips)
+    h, w, c, b = (540, 960, 2, 8) if quick else (2160, 3840, 4, 8)
     mesh = make_mesh(axis="clips")
     c = max(c, mesh.devices.size)
     eng = CRTEngine(config_params("c4_temporal_1080p"), h, w, fps=30.0)

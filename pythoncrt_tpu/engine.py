@@ -290,9 +290,7 @@ class CRTEngine:
             return
         if self.pallas_mode != "on" and not enabled:
             return
-        if not p.bloom_on:
-            return  # nothing to fuse around (cheap configs stay XLA)
-        if self._pallas_bloom or self._pallas_bloom2:
+        if (self._pallas_bloom or self._pallas_bloom2) and p.bloom_on:
             return  # explicit A/B opt-ins take precedence
         if p.scanlines_on and not p.scanlines_1d and not epi_xla:
             return  # 2-D scanlines need sin/pow per pixel — XLA path
@@ -335,11 +333,30 @@ class CRTEngine:
                 inv_gamma=(1.0 / float(p.gamma))
                 if (p.gamma != 1.0 and p.gamma > 0.0) else 1.0,
             )
+        if not p.bloom_on:
+            # Bloom-off configs still win by folding the per-stage HBM
+            # chain into one pass — measured 3.3x on the c2 retro stack
+            # (1349 -> 4517 fps at 720p: triad pows + noise + aberration
+            # rolls were separate XLA passes). Multiplier-only stacks
+            # (scanlines/vignette/flicker, e.g. c1) stay XLA: those fuse
+            # into the convert pass already, and the stripe kernel's
+            # per-program overhead measured a net LOSS there (8809 ->
+            # 6137 fps at 480p).
+            folded = (triad_in or kw["noise"] or emit != "f32"
+                      or (pre and (kw.get("px", 1) != 1
+                                   or kw.get("ab", 0) != 0
+                                   or kw.get("saturation", 1.0) != 1.0
+                                   or kw.get("temp_r", 1.0) != 1.0
+                                   or kw.get("brightness", 0.0) != 0.0
+                                   or kw.get("contrast", 1.0) != 1.0
+                                   or kw.get("inv_gamma", 1.0) != 1.0)))
+            if not folded:
+                return
         try:
             self._fused_spec = _kf.build_fused_spec(
                 self.h, self.w, sigma=float(p.bloom_sigma),
                 strength=float(p.bloom_strength), fast=bool(p.fast_bloom),
-                threshold=float(p.bloom_threshold), **kw)
+                threshold=float(p.bloom_threshold), bloom=p.bloom_on, **kw)
             self._pallas_fused = True
         except ValueError:
             if not pre:
@@ -353,7 +370,8 @@ class CRTEngine:
                 self._fused_spec = _kf.build_fused_spec(
                     self.h, self.w, sigma=float(p.bloom_sigma),
                     strength=float(p.bloom_strength), fast=bool(p.fast_bloom),
-                    threshold=float(p.bloom_threshold), **kw2)
+                    threshold=float(p.bloom_threshold), bloom=p.bloom_on,
+                    **kw2)
                 self._pallas_fused = True
             except ValueError:
                 pass

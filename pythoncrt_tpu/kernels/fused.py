@@ -70,6 +70,11 @@ class FusedSpec:
     threshold: float
     fast: bool = False  # half-res down+up composite (bloom3_fast core)
     #                     instead of the gaussian taps (r/taps unused)
+    bloom: bool = True  # False: skip stage 6 entirely (r/taps/strength/
+    #                     threshold/fast unused) — the kernel still wins
+    #                     by folding prologue+epilogue+warp-feed into
+    #                     one HBM pass for bloom-off configs (e.g. the
+    #                     c2-class scanline/triad/noise stacks)
     # prologue (pre=False -> input is the engine's pre-processed f32)
     pre: bool = False
     px: int = 1  # pixel_size (1 = no pixelate); window-origin aligned
@@ -130,14 +135,16 @@ def pick_ty_fused(h: int, w: int):
 
 def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
                      strength: float, threshold: float, fast: bool = False,
-                     **kw) -> FusedSpec:
+                     bloom: bool = True, **kw) -> FusedSpec:
     """Build + validate. Raises ValueError when the shape/stage set is
     outside the kernel's envelope (caller falls back to bloom3/XLA)."""
     from ..oracle import ops as oops
 
     if h % _TY_MIN or w % 128:
         raise ValueError(f"fused needs H%{_TY_MIN}==0 and W%128==0, got {h}x{w}")
-    if fast:
+    if not bloom:
+        taps, r, fast = (), 0, False
+    elif fast:
         # half-res parity arithmetic needs even dims (guaranteed by the
         # gates above, asserted for clarity) and the fixed 8-row halo
         if h % 2 or w % 2:
@@ -172,7 +179,7 @@ def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
     if kw.get("emit", "f32") not in ("f32", "bf16_255", "u8_255"):
         raise ValueError(f"unknown emit mode {kw.get('emit')}")
     return FusedSpec(h=h, w=w, ty=ty, r=r, taps=taps, strength=float(strength),
-                     threshold=float(threshold), fast=fast, **kw)
+                     threshold=float(threshold), fast=fast, bloom=bloom, **kw)
 
 
 def _quantize_lut(x):
@@ -312,7 +319,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     # Gaussian: the bloom3 exact core. Fast: the bloom3_fast half-res
     # down+up parity core. Both reproduce the oracle's f32 op order.
     src = x
-    if s.threshold > 0.0:
+    if s.bloom and s.threshold > 0.0:
         # multiply form == XLA-TPU's lowering of the engine's division
         # (see the stage-1 /255 comment above; bloom3 kernels match)
         thr = np.float32(min(0.99, max(0.0, s.threshold)))
@@ -322,7 +329,9 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
 
     orow = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
 
-    if s.fast:
+    if not s.bloom:
+        pass  # stage 6 off: the stripe passes through below
+    elif s.fast:
         half = np.float32(0.5)
         # D rows: half-rows at EVEN window rows (window origins are
         # 8-aligned, so window-row parity == frame-row parity); odd
@@ -440,7 +449,22 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
         base = x[:, d:d + ty, :]  # pre-knee center rows live in VMEM
         return jnp.clip(base + np.float32(s.strength) * blurred, 0.0, 1.0)
 
-    if debug == "noblur":
+    if not s.bloom:
+        # stage 6 off: the stripe rows pass through at their per-branch
+        # window offsets (0 / 8 / 16 — window origins clip at the frame
+        # edges, see start_dma)
+        @pl.when(jnp.logical_and(p != 0, p != nyt - 1))
+        def _():
+            mid_ref[...] = x[:, 8:8 + ty, :]
+
+        @pl.when(p == 0)
+        def _():
+            mid_ref[...] = x[:, 0:ty, :]
+
+        @pl.when(p == nyt - 1)
+        def _():
+            mid_ref[...] = x[:, 16:16 + ty, :]
+    elif debug == "noblur":
         mid_ref[...] = x[:, 8:8 + ty, :]
     else:
         @pl.when(jnp.logical_and(p != 0, p != nyt - 1))

@@ -64,6 +64,17 @@ CASES = {
     # fast bloom alone with the knee
     "fast_knee": (dict(bloom_strength=0.5, fast_bloom=True,
                        bloom_threshold=0.35), True, True),
+    # BLOOM OFF: the kernel still folds prologue+epilogue into one pass
+    # (the c2-class retro stack: scanlines + triad + aberration + noise)
+    "c2_retro": (dict(scanline_strength=0.6, triad_strength=0.35,
+                      triad_softness=0.5, aberration_px=2,
+                      noise_strength=4.0, bloom_strength=0.0), True, True),
+    # bloom off + the FULL prologue/epilogue/warp chain
+    "no_bloom_warp": ({**FULL, "bloom_strength": 0.0}, True, True),
+    # bloom off, c1-class (scanlines + vignette only): multiplier-only
+    # stacks stay XLA (the fused kernel measured a net loss there)
+    "c1_scan_vig": (dict(scanline_strength=0.6, vignette_strength=0.25,
+                         bloom_strength=0.0), False, True),
 }
 
 
