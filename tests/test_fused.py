@@ -75,6 +75,10 @@ CASES = {
     # stacks stay XLA (the fused kernel measured a net loss there)
     "c1_scan_vig": (dict(scanline_strength=0.6, vignette_strength=0.25,
                          bloom_strength=0.0), False, True),
+    # bloom off + px=3: prologue ineligible -> XLA pre, kernel epilogue
+    "no_bloom_px3": (dict(scanline_strength=0.6, triad_strength=0.35,
+                          noise_strength=4.0, pixel_size=3,
+                          bloom_strength=0.0), True, False),
 }
 
 
