@@ -259,10 +259,13 @@ class CRTEngine:
         if self._pallas_warp:
             from .kernels import warp as _kw
 
-            # The kernel runs in the bf16 int domain (see kernels/warp.py).
-            # row_align stays 8: bf16 DMA from a sublane-8 origin verified
-            # correct on v5e, and 16-alignment would grow the window band
-            # (byp 32 -> 40 at 1080p = +25% matmul M for nothing).
+            # The kernel runs in the int domain on a u8 feed (bf16 via
+            # PCRT_WARP_FEED=bf16; see kernels/warp.py). row_align stays
+            # 8: narrow-dtype DMA from a sublane-8 origin verified
+            # correct on v5e for both feeds (scripts/check_onchip_parity
+            # re-checks the shipped path end-to-end on the real chip),
+            # and 16-alignment would grow the window band (byp 32 -> 40
+            # at 1080p = +25% matmul M for nothing).
             self._warp_tables = _kw.build_warp_tables(
                 self.h, self.w, p.warp_strength, row_align=8
             )
@@ -773,8 +776,9 @@ class CRTEngine:
 
     def _fused_stages(self, frames_u8, aux: FrameAux, c: dict):
         """Stages 1-11 in ONE Pallas stripe pass (kernels/fused.py) —
-        plus stage 12 when the spec emits the warp kernel's planar bf16
-        [0,255] feed directly (zero layout/domain glue between the two
+        plus stage 12 when the spec emits the warp kernel's planar
+        [0,255] integer feed directly (uint8 by default, bf16 via
+        PCRT_WARP_FEED — zero layout/domain glue between the two
         kernels). Returns (imgs, warped):
 
           warped=False: imgs NHWC f32 [0,1] after stage 11

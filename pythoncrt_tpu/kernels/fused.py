@@ -452,7 +452,9 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     if not s.bloom:
         # stage 6 off: the stripe rows pass through at their per-branch
         # window offsets (0 / 8 / 16 — window origins clip at the frame
-        # edges, see start_dma)
+        # edges, see start_dma). The 16-row halo is still DMA'd (wasted
+        # here, ~3 us/f of u8 reads at 1080p); a halo-free bloom-off
+        # window variant isn't worth forking the DMA/branch logic for.
         @pl.when(jnp.logical_and(p != 0, p != nyt - 1))
         def _():
             mid_ref[...] = x[:, 8:8 + ty, :]

@@ -605,10 +605,12 @@ def warp_planar(
     # xprof trace put the FIXED per-program cost at ~1.4 us (354 us/f of
     # pure overhead at fpp=8 across 2025 tiles); fpp=16 halves the
     # program count at ~6 MB of VMEM scratch (budget ~16 MB).
-    # fpp=32 became the default once the u8 feed halved the window
-    # scratch (A/B 2026-08-18: 822.0 vs 813.4 fps at fpp=16; at the
-    # round-2 bf16 feed the same flip measured neutral-to-negative).
-    fpp = next(f for f in (int(os.environ.get("PCRT_WARP_FPP", "32")),
+    # fpp=32 is the default ONLY for the u8 int-domain feed, whose
+    # windows are quarter-size (A/B 2026-08-18: 822.0 vs 813.4 fps at
+    # fpp=16); bf16/f32 feeds keep fpp=16 — the same flip measured
+    # neutral-to-negative there and doubles/quadruples the VMEM scratch.
+    fpp_def = "32" if (int_domain and imgs.dtype == jnp.uint8) else "16"
+    fpp = next(f for f in (int(os.environ.get("PCRT_WARP_FPP", fpp_def)),
                            32, 16, 8, 4, 2, 1) if b % f == 0)
     # depth >= 2 required: at nbuf=1 program 0's window DMA would start
     # twice (the t==0 prologue AND the steady-state t+nbuf-1 issue hit

@@ -45,9 +45,13 @@ def main() -> None:
             if not any("self" in (i or "") for i in ids):
                 continue
             for r in t.get("rows", []):
-                vals = dict(zip(ids, [c.get("v") for c in r.get("c", [])]))
-                st = next((vals[i] for i in ids if i and "self_time" in i
-                           and "percent" not in i and "cumulative" not in i),
+                # gviz encodes missing cells as null; rows may be short
+                cells = [c.get("v") if isinstance(c, dict) else None
+                         for c in r.get("c", [])]
+                vals = dict(zip(ids, cells))
+                st = next((vals.get(i) for i in ids if i and "self_time" in i
+                           and "percent" not in i and "cumulative" not in i
+                           and vals.get(i) is not None),
                           None)
                 if st is None:
                     continue
