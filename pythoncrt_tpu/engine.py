@@ -612,8 +612,17 @@ class CRTEngine:
         constant handler's `_value` fetch of the extended-dtype key
         array crawls through the axon relay (measured round 3,
         scripts/ — the CLI's whole "3-minute warm start" was this one
-        8-byte constant)."""
-        return jax.random.key(self.seed)
+        8-byte constant).
+
+        PCRT_RNG_IMPL selects the PRNG implementation for the NATIVE
+        rng mode (default threefry2x32). "rbg" uses XLA's hardware
+        RngBitGenerator — draws differ from threefry (still
+        deterministic per seed+frame on a given backend), which is
+        legal for rng="native" (its contract is distributional; the
+        reference's numpy streams are only reproduced by rng="host")."""
+        impl = os.environ.get("PCRT_RNG_IMPL")
+        return jax.random.key(self.seed, impl=impl) if impl \
+            else jax.random.key(self.seed)
 
     # ------------------------------------------------------------------
     # Per-frame chain (vmapped over the batch axis)
