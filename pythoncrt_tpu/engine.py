@@ -232,7 +232,13 @@ class CRTEngine:
             except ValueError:
                 pass  # unsupported radius/shape -> bloom2/XLA fallback
         self._pallas_bloom2 = False
-        want2 = p.fast_bloom or os.environ.get("PCRT_BLOOM2_GAUSS") == "1"
+        # bloom2 is the one kernel that is NOT bit-identical to the
+        # oracle's pass order (~2^-20 reassociation, PARITY.md) and it
+        # sits upstream of the triad LUT cliff — so it is A/B OPT-IN
+        # only, never a silent fallback (degenerate shapes where bloom3/
+        # fused reject, e.g. h < ty+16, take the exact XLA form instead)
+        want2 = ((p.fast_bloom and os.environ.get("PCRT_BLOOM2_FAST") == "1")
+                 or os.environ.get("PCRT_BLOOM2_GAUSS") == "1")
         if (enabled and p.bloom_on and shape_ok and want2
                 and not self._pallas_bloom and not self._pallas_bloom3
                 and os.environ.get("PCRT_NO_BLOOM2") != "1"):
@@ -1089,7 +1095,6 @@ class CRTEngine:
         if self.rng == "host":
             if p.noise_on:
                 gh, gw = self._grain_hw
-                rng = np.random.default_rng(self.seed)
                 # independent per-frame streams keyed by frame index
                 noise = np.stack(
                     [

@@ -460,6 +460,7 @@ def qt_classes():
                 "flicker_hz": self.flicker_hz, "scanline_angle": self.scanline_angle,
                 "scanline_thickness": self.scanline_thickness,
                 "warp_strength": self.warp_strength,
+                "glitch_height_frac": self.glitch_height,
             }
             for field, widget in widgets.items():
                 widget.setValue(float(getattr(p, field)))

@@ -182,7 +182,11 @@ class FFmpegRawReader:
 
     def __init__(self, src: str, out_w: int, out_h: int, fps: float,
                  hwaccel: Optional[str] = None, pipe_format: str = "rgb24",
-                 start_frame: int = 0) -> None:
+                 start_frame: int = 0,
+                 src_fps: Optional[float] = None) -> None:
+        # src_fps: pass the already-probed source rate to skip the
+        # per-construction probe_clip (ChunkedParallelReader opens one
+        # reader per chunk on the hot decode path)
         exe = find_ffmpeg()
         if not exe:
             raise RuntimeError("no ffmpeg binary available")
@@ -204,12 +208,20 @@ class FFmpegRawReader:
             # first decoded pts, which can select source frames off by
             # one near the seek vs an uninterrupted render — those
             # clips decode-and-discard instead (correct, O(prefix)).
-            try:
-                src_fps = probe_clip(src).fps
-            except Exception:
-                src_fps = 0.0
+            if src_fps is None:
+                try:
+                    src_fps = probe_clip(src).fps
+                except Exception:
+                    src_fps = 0.0
             if abs(src_fps - float(fps)) < 1e-3:
-                cmd += ["-ss", f"{start_frame / float(fps):.6f}"]
+                # target HALF A FRAME EARLY: f"{k/fps:.6f}" rounds to the
+                # nearest microsecond, and rounding UP past frame k's true
+                # pts would make ffmpeg's accurate seek drop frame k (a
+                # one-frame shift that breaks segments.py's bit-identical
+                # resume). Midway between the pts of frames k-1 and k is
+                # unambiguous under the keep-frames-with-pts>=target rule.
+                ts = max(0.0, (start_frame - 0.5) / float(fps))
+                cmd += ["-ss", f"{ts:.6f}"]
             else:
                 self._skip = int(start_frame)
         cmd += [
@@ -397,6 +409,7 @@ class ChunkedParallelReader:
             src_fps = probe_clip(src).fps
         except Exception:
             src_fps = float(fps)
+        self._src_fps = float(src_fps)  # reused by every per-chunk open
         self._sequential = abs(src_fps - float(fps)) > 1e-3
         self.workers = 1 if self._sequential else max(1, min(int(workers), n_chunks))
         self._qs = [_q.Queue(maxsize=2) for _ in range(self.workers)]
@@ -437,7 +450,8 @@ class ChunkedParallelReader:
                 f1 = min(self.start + (ci + 1) * self.chunk, self.total)
                 rdr = seq_rdr if seq_rdr is not None else open_reader(
                     self.src, self.out_w, self.out_h, self.fps,
-                    self.pref, self.pipe_format, start_frame=f0)
+                    self.pref, self.pipe_format, start_frame=f0,
+                    src_fps=self._src_fps)
                 try:
                     got = 0
                     buf = np.empty((f1 - f0, self.out_h, self.out_w, 3), np.uint8)
@@ -528,6 +542,7 @@ class ChunkedParallelReader:
 def open_reader(
     src: str, out_w: int, out_h: int, fps: float, decoder_preference: str = "auto",
     pipe_format: str = "rgb24", start_frame: int = 0,
+    src_fps: "Optional[float]" = None,
 ):
     """Tier-by-tier reader selection: hwaccel ffmpeg -> plain ffmpeg ->
     OpenCV (the reference's fallback-chain pattern, crt_filter.py:1024-1036).
@@ -537,7 +552,7 @@ def open_reader(
     if find_ffmpeg():
         try:
             return FFmpegRawReader(src, out_w, out_h, fps, accel, pipe_format,
-                                   start_frame)
+                                   start_frame, src_fps=src_fps)
         except Exception:
             pass
     return CV2Reader(src, out_w, out_h, fps, start_frame)

@@ -52,10 +52,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.color import (REC709_B, REC709_G, REC709_R, TRIAD_LUT_SIZE,
+                         _quantize_lut)
 from .bloom3 import TY as _TY_MIN
 
-REC709 = (0.2126, 0.7152, 0.0722)
-LUT_N = 1024
+# single source of truth: ops/color.py (the XLA engine path the kernel
+# must match bit-for-bit); re-exported under the kernel's local names
+REC709 = (REC709_R, REC709_G, REC709_B)
+LUT_N = TRIAD_LUT_SIZE
 
 
 @dataclass(frozen=True)
@@ -182,12 +186,9 @@ def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
                      threshold=float(threshold), fast=fast, bloom=bloom, **kw)
 
 
-def _quantize_lut(x):
-    """ops/color.py:_quantize_lut, op for op (f32->s32 convert truncates
-    toward zero in both XLA and Mosaic — checked on-chip)."""
-    idx = jnp.clip((jnp.clip(x, 0.0, 1.0) * np.float32(LUT_N)).astype(jnp.int32),
-                   0, LUT_N)
-    return idx.astype(jnp.float32) * np.float32(1.0 / LUT_N)
+# _quantize_lut is IMPORTED from ops/color.py (pure jnp, Mosaic-legal;
+# the f32->s32 convert truncates toward zero in both XLA and Mosaic —
+# checked on-chip), so the kernel and the XLA path cannot drift.
 
 
 def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):

@@ -446,7 +446,11 @@ def process_video(
 
     total_seconds = time.perf_counter() - t_start
     if report:
-        perf.perf_report(total_frames=frames_done, total_seconds=total_seconds)
+        # report only the frames RENDERED THIS RUN: frames_done starts at
+        # `skip` on a segmented resume, and counting the previously-
+        # journaled frames would inflate the fps figure
+        perf.perf_report(total_frames=frames_done - skip,
+                         total_seconds=total_seconds)
     if progress_cb is not None:
         progress_cb(1.0)
     return used_gpu

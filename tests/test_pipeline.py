@@ -150,6 +150,32 @@ class TestIO:
         par.close()
         np.testing.assert_array_equal(got, want)
 
+    def test_ffmpeg_seek_targets_half_frame_early(self, monkeypatch):
+        """The resume seek must aim BETWEEN frame k-1's and frame k's pts:
+        f"{k/fps:.6f}" rounds to the nearest microsecond, and rounding UP
+        past frame k's true pts would make ffmpeg's accurate input seek
+        drop frame k — a one-frame shift that breaks segments.py's
+        bit-identical resume contract."""
+        captured = {}
+
+        class FakeProc:
+            stdout = None
+
+        def fake_popen(cmd, **kw):
+            captured["cmd"] = cmd
+            return FakeProc()
+
+        monkeypatch.setattr(vio, "find_ffmpeg", lambda: "/bin/ffmpeg")
+        monkeypatch.setattr(vio.subprocess, "Popen", fake_popen)
+        for fps, k in ((30000.0 / 1001.0, 2997), (24.0, 7), (60.0, 1)):
+            monkeypatch.setattr(
+                vio, "probe_clip",
+                lambda _p, f=fps: vio.ClipInfo(64, 48, f, 10_000))
+            vio.FFmpegRawReader("x.mp4", 64, 48, fps, start_frame=k)
+            cmd = captured["cmd"]
+            ts = float(cmd[cmd.index("-ss") + 1])
+            assert (k - 1) / fps < ts < k / fps, (fps, k, ts)
+
     @pytest.mark.skipif(vio.find_ffmpeg() is None, reason="no ffmpeg binary")
     def test_ffmpeg_reader_close_reaps_child(self, tiny_clip):
         """close() mid-stream must reap the decoder (no zombie ffmpeg
