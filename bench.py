@@ -60,13 +60,21 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     overlaps DMA with compute (pipeline.py); per-chip kernel throughput
     is the metric that transfers to real deployments.
     """
+    import os
+
     import jax
 
     from pythoncrt_tpu.engine import CRTEngine
 
     import jax.numpy as jnp
 
-    eng = CRTEngine(params, h, w, fps=30.0, assoc_scan=assoc_scan)
+    # PCRT_BENCH_LAYOUT=nhwc A/Bs the legacy interleaved layout; the
+    # default is the pipeline's planar feed (ffmpeg -pix_fmt gbrp
+    # decodes straight into the kernel layout, so staged planar frames
+    # are what production steps actually see).
+    layout = os.environ.get("PCRT_BENCH_LAYOUT", "planar")
+    eng = CRTEngine(params, h, w, fps=30.0, assoc_scan=assoc_scan,
+                    layout=layout)
     # CHAIN each step's uint8 output into the next step's input: the
     # axon relay dedupes/elides repeated identical executions (a 480p
     # config measured 1.1M fake fps with static inputs, r3), and
@@ -84,7 +92,10 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     # Unique starting content makes every chained step unique forever;
     # FLOPs are content-independent.
     salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3), dtype=np.uint8)
-    frames = jax.device_put(make_frames(batch, h, w) ^ salt)
+    staged = make_frames(batch, h, w) ^ salt
+    if layout == "planar":
+        staged = np.ascontiguousarray(np.transpose(staged, (0, 3, 1, 2)))
+    frames = jax.device_put(staged)
     aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
     state = eng.init_state()
     first = jnp.zeros((1,), jnp.bool_)

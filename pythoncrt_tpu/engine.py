@@ -101,6 +101,26 @@ class CRTEngine:
       assoc_scan: use an O(log B) associative scan for the persistence
         recurrence instead of lax.scan (throughput mode; same math, f32
         reassociation differences only).
+      layout: "nhwc" (default) — process() takes/returns (B, H, W, 3)
+        uint8 and the state is (H, W, 3). "planar" — (B, 3, H, W) /
+        (3, H, W). The fused stripe kernel and the warp kernel both
+        work on planar arrays internally, so the planar layout skips
+        the NHWC<->planar relayouts at the step boundary entirely when
+        the config qualifies (self.planar_ok; otherwise the step
+        converts at the edges and is merely layout-compatible). "auto"
+        resolves to "planar" when the config qualifies, else "nhwc" —
+        read self.layout after construction to learn the I/O contract.
+        The host pipeline feeds planar frames straight out of ffmpeg's
+        planar-RGB decode (-pix_fmt gbrp) so no host repack happens
+        either. Values are bit-identical across layouts (transposes
+        carry no arithmetic); tests assert it.
+      channel_order: which color each PLANE of a planar frame holds —
+        "rgb" (default) or "gbr" (ffmpeg's gbrp plane order, so decoded
+        planes feed the kernels untouched and outputs pipe back to the
+        encoder untouched). Per-channel constants (aberration shifts,
+        temperature gains, Rec.709 luma weights, the triad mask) are
+        permuted to match; output planes come back in the same order.
+        Only meaningful with layout "planar"/"auto".
     """
 
     def __init__(
@@ -119,6 +139,8 @@ class CRTEngine:
         assoc_scan: bool = False,
         pallas: str = "auto",
         interpret: bool = False,
+        layout: str = "nhwc",
+        channel_order: str = "rgb",
     ) -> None:
         if engine not in ("export", "preview"):
             raise ValueError(f"engine must be 'export' or 'preview', got {engine!r}")
@@ -128,6 +150,14 @@ class CRTEngine:
             raise ValueError(f"pallas must be auto/on/off, got {pallas!r}")
         if precision not in ("exact", "fast"):
             raise ValueError(f"precision must be 'exact' or 'fast', got {precision!r}")
+        if layout not in ("nhwc", "planar", "auto"):
+            raise ValueError(
+                f"layout must be 'nhwc', 'planar' or 'auto', got {layout!r}")
+        if channel_order not in ("rgb", "gbr"):
+            raise ValueError(
+                f"channel_order must be 'rgb' or 'gbr', got {channel_order!r}")
+        if channel_order != "rgb" and layout == "nhwc":
+            raise ValueError("channel_order requires layout 'planar'/'auto'")
         _enable_compile_cache()
         p = params.clamped()
         self.params = p
@@ -141,8 +171,38 @@ class CRTEngine:
         self.lut_exact = bool(lut_exact) and self._exact
         self.assoc_scan = bool(assoc_scan)
         self._interpret = bool(interpret)
+        self.layout = layout
+        self.channel_order = channel_order
+        # plane i of a planar frame holds color _plane_colors[i]
+        # (0=R, 1=G, 2=B); gbr is ffmpeg's gbrp plane order
+        self._plane_colors = (0, 1, 2) if channel_order == "rgb" else (1, 2, 0)
         self._resolve_pallas(pallas)
         self._build_consts(text_rgba)
+        # planar_ok: every stage downstream of the fused kernel is
+        # layout-agnostic (warp kernel is planar-native; persistence and
+        # the uint8 cast are elementwise), so the planar layout runs the
+        # whole step without a single NHWC<->planar relayout. Glitch and
+        # text-after still consume NHWC — those configs convert at the
+        # step edges instead (correct, no faster).
+        p = self.params
+        self.planar_ok = bool(
+            self._pallas_fused
+            and self._fused_spec is not None and self._fused_spec.pre
+            and not (p.glitch_on and getattr(self, "_glitch_rows", 0) > 0)
+            and not (self._has_text and p.text.after)
+            and (not p.warp_on or self._pallas_warp)
+        )
+        if self.layout == "auto":
+            self.layout = "planar" if self.planar_ok else "nhwc"
+        if (self.layout == "planar" and self.planar_ok
+                and self._plane_colors != (0, 1, 2)):
+            # the fused kernel sees the planes untransposed: brand the
+            # spec with the plane->color map so its per-channel constants
+            # (aberration shifts, temp gains, luma weights) permute along
+            import dataclasses
+
+            self._fused_spec = dataclasses.replace(
+                self._fused_spec, corder=self._plane_colors)
         # Constants (masks, warp tables, index maps) are passed as jit
         # ARGUMENTS, not closure captures: captured arrays embed as HLO
         # literals, which blows up compile time at 1080p+ (tens of MB of
@@ -805,8 +865,12 @@ class CRTEngine:
         from .kernels import fused as _kf
 
         spec = self._fused_spec
+        planar = self.layout == "planar" and self.planar_ok
         if spec.pre:
-            x = jnp.transpose(frames_u8, (0, 3, 1, 2))  # u8 planar
+            # planar: the frames already sit in the kernel's layout — the
+            # u8 NHWC->planar relayout (xprof r3: ~48 us/f at 1080p)
+            # disappears from the step entirely
+            x = frames_u8 if planar else jnp.transpose(frames_u8, (0, 3, 1, 2))
         else:
             pre = jax.vmap(functools.partial(self._frame_pre_bloom, c))(frames_u8, aux)
             x = jnp.transpose(pre, (0, 3, 1, 2))
@@ -828,7 +892,11 @@ class CRTEngine:
             kw["vy2"] = c["vig_ny2"][:, None]
             kw["vx2"] = c["vig_nx2"][None, :]
         if spec.triad:
-            kw["tri"] = jnp.transpose(c["triad"])[:, None, :]  # (W,3)->(3,1,W)
+            tri = jnp.transpose(c["triad"])  # (W, 3) -> (3, W)
+            if spec.corder != (0, 1, 2):
+                # plane i: color corder[i]
+                tri = tri[np.array(spec.corder)]
+            kw["tri"] = tri[:, None, :]  # (3, 1, W)
         if spec.flicker:
             kw["flicker"] = aux.flicker[:, None]
         out = _kf.fused_pipeline(x, spec, interpret=self._interpret, **kw)
@@ -836,6 +904,8 @@ class CRTEngine:
             out = self._post_bloom_planar(out, aux, c)
         feed_warp = self.params.warp_on and self._pallas_warp
         if not feed_warp:
+            if planar:
+                return out, False  # stays planar through _finish
             return jnp.transpose(out, (0, 2, 3, 1)), False
         if self._fused_epi_xla:
             dt = (jnp.bfloat16 if os.environ.get("PCRT_WARP_FEED") == "bf16"
@@ -853,6 +923,8 @@ class CRTEngine:
         )
         if self._warp_emit_scaled:
             return warped, True
+        if planar:
+            return warped * np.float32(1.0 / 255.0), True
         return jnp.transpose(warped, (0, 2, 3, 1)) * np.float32(1.0 / 255.0), True
 
     def _post_bloom_planar(self, imgs, aux: FrameAux, c: dict):
@@ -988,6 +1060,7 @@ class CRTEngine:
         vmaps _finish over the clip axis, and a vmapped pallas_call is
         a measured pathology (ROADMAP.md round-1 notes)."""
         p = self.params
+        planar = self.layout == "planar" and self.planar_ok
         if self._warp_emit_scaled:
             # imgs are f32 in [0, 255] — or already uint8 when the cast
             # folded into the warp kernel (_warp_emit_u8) — straight
@@ -1002,6 +1075,10 @@ class CRTEngine:
             if self._pallas_fused and (self._fused_spec.emit
                                        in ("bf16_255", "u8_255")
                                        or self._fused_epi_xla):
+                if planar:
+                    # planar layout: the kernel chain's layout IS the
+                    # output layout — nothing left to restore
+                    return out, stt
                 # fused path kept the planar kernel layout end-to-end;
                 # restore NHWC on the 1-byte output (4x cheaper than a
                 # f32 transpose) and normalize the carried state.
@@ -1009,7 +1086,20 @@ class CRTEngine:
                         jnp.transpose(stt, (1, 2, 0)))
             return out, stt
         if p.persistence_on:
-            if self._pallas_persist and allow_pallas:
+            if planar and self._pallas_persist and allow_pallas \
+                    and self.w % 128 == 0:
+                from .kernels import persist as _kp
+
+                # planar (B, 3H, W) flatten is a free view of the planar
+                # batch (no transpose contract needed at all)
+                b = imgs.shape[0]
+                outs, ns = _kp.persistence_scan(
+                    imgs.reshape(b, 3 * self.h, self.w),
+                    state.reshape(3 * self.h, self.w),
+                    first_arr, p.persistence, self._interpret, emit_u8=True,
+                )
+                return outs.reshape(imgs.shape), ns.reshape(state.shape)
+            if not planar and self._pallas_persist and allow_pallas:
                 from .kernels import persist as _kp
 
                 # Planar flatten + fused uint8 emit (one shared wrapper
@@ -1044,6 +1134,20 @@ class CRTEngine:
         return ocolor.to_uint8(outs), new_state
 
     def _step(self, frames_u8, aux: FrameAux, state, first_arr, c: dict):
+        if self.layout == "planar" and not self.planar_ok:
+            # layout-compatible fallback (glitch / text-after / XLA-warp
+            # configs): convert at the step edges; the body runs NHWC in
+            # RGB order (inv[c] = which plane holds color c; XLA folds
+            # the channel permute into the same relayout copy)
+            pc = np.array(self._plane_colors)
+            inv = np.argsort(pc)  # inv[c] = which plane holds color c
+            frames_u8 = jnp.transpose(frames_u8, (0, 2, 3, 1))[..., inv]
+            state = jnp.transpose(state, (1, 2, 0))[..., inv]
+            out, ns = self._finish(
+                self._batch_effects(frames_u8, aux, c), state, first_arr
+            )
+            return (jnp.transpose(out[..., pc], (0, 3, 1, 2)),
+                    jnp.transpose(ns[..., pc], (2, 0, 1)))
         return self._finish(self._batch_effects(frames_u8, aux, c), state, first_arr)
 
     def _assoc_persistence(self, imgs, state0):
@@ -1134,16 +1238,26 @@ class CRTEngine:
         )
 
     def init_state(self) -> jax.Array:
+        if self.layout == "planar":
+            return jnp.zeros((3, self.h, self.w), jnp.float32)
         return jnp.zeros((self.h, self.w, 3), jnp.float32)
 
     def process(self, frames_u8, frame_indices=None, state=None):
-        """Run a batch. frames_u8: (B, H, W, 3) uint8 (numpy or device).
+        """Run a batch. frames_u8: (B, H, W, 3) uint8 (numpy or device)
+        — or (B, 3, H, W) when the engine was built with layout="planar"
+        (output and state shapes follow the same layout).
         Returns (out_u8 (B, H, W, 3) device array, new_state).
 
         Pass state=None for the first batch of a stream; thereafter pass
         the returned state to carry the persistence tail across batches.
         """
         frames_u8 = jnp.asarray(frames_u8)
+        exp = ((3, self.h, self.w) if self.layout == "planar"
+               else (self.h, self.w, 3))
+        if frames_u8.shape[1:] != exp:
+            raise ValueError(
+                f"frames shape {frames_u8.shape[1:]} != {exp} for "
+                f"layout={self.layout!r}")
         b = frames_u8.shape[0]
         if frame_indices is None:
             frame_indices = np.arange(b)

@@ -105,6 +105,11 @@ class FusedSpec:
     # but u8 halves the kernel's output write AND the warp's window
     # DMA bytes (the warp casts back to bf16 in-register post-roll).
     emit: str = "f32"
+    # plane i of the input/output holds color corder[i] (0=R,1=G,2=B).
+    # (1, 2, 0) is ffmpeg's gbrp plane order — the engine's planar
+    # layout feeds decoded planes untouched, and the per-channel
+    # constants below permute to match. Spatial stages are colorless.
+    corder: tuple = (0, 1, 2)
 
 
 # Peak VMEM liveness through the prologue+blur+epilogue pipeline,
@@ -270,10 +275,12 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                                 pltpu.roll(x, s0, axis=1), res)
             x = res
         if s.px > 1 or s.ab != 0:
-            # x per channel: shift = lane%px + {+ab, 0, -ab}; cyclic roll
-            # wrap == the composed maps' mod-W wrap
+            # x per channel: shift = lane%px + {R:+ab, G:0, B:-ab} by the
+            # plane's COLOR (corder); cyclic roll wrap == the composed
+            # maps' mod-W wrap
+            ab_of_color = (s.ab, 0, -s.ab)
             chans = []
-            for ci, sh in enumerate((s.ab, 0, -s.ab)):
+            for ci, sh in enumerate(ab_of_color[cc] for cc in s.corder):
                 xc = x[ci:ci + 1]
                 if s.px == 1:
                     res = xc if sh == 0 else pltpu.roll(xc, sh % w, axis=2)
@@ -294,15 +301,22 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
         # bit-identical upstream of the triad LUT cliff.
         x = x * np.float32(1.0 / 255.0)
         # stage 4: saturation -> temperature -> brightness/contrast -> gamma
+        # (per-channel constants indexed by each PLANE's color, corder)
         if s.saturation != 1.0:
-            luma = (np.float32(REC709[0]) * x[0:1]
-                    + np.float32(REC709[1]) * x[1:2]
-                    + np.float32(REC709[2]) * x[2:3])
+            # the f32 SUM ORDER must stay R+G+B (oracle order — this is
+            # upstream of the triad LUT cliff): pick planes by color,
+            # never reassociate by plane position
+            ir, ig, ib = (s.corder.index(0), s.corder.index(1),
+                          s.corder.index(2))
+            luma = (np.float32(REC709[0]) * x[ir:ir + 1]
+                    + np.float32(REC709[1]) * x[ig:ig + 1]
+                    + np.float32(REC709[2]) * x[ib:ib + 1])
             x = jnp.clip(luma + (x - luma) * np.float32(s.saturation), 0.0, 1.0)
         if s.temp_r != 1.0 or s.temp_b != 1.0:
             chan = jax.lax.broadcasted_iota(jnp.int32, (3, 1, 1), 0)
-            gains = jnp.where(chan == 0, np.float32(s.temp_r),
-                              jnp.where(chan == 2, np.float32(s.temp_b),
+            gains = jnp.where(chan == s.corder.index(0), np.float32(s.temp_r),
+                              jnp.where(chan == s.corder.index(2),
+                                        np.float32(s.temp_b),
                                         np.float32(1.0)))
             x = jnp.clip(x * gains, 0.0, 1.0)
         if s.brightness != 0.0 or s.contrast != 1.0:
@@ -502,12 +516,15 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
             lin = _pow(jnp.clip(m, 0.0, 1.0), g)
         out_lin = lin * mask
         if s.triad_luma:
-            yb = (np.float32(REC709[0]) * lin[0:1]
-                  + np.float32(REC709[1]) * lin[1:2]
-                  + np.float32(REC709[2]) * lin[2:3])
-            ya = (np.float32(REC709[0]) * out_lin[0:1]
-                  + np.float32(REC709[1]) * out_lin[1:2]
-                  + np.float32(REC709[2]) * out_lin[2:3])
+            # same R+G+B sum order as the oracle (see the saturation note)
+            ir, ig, ib = (s.corder.index(0), s.corder.index(1),
+                          s.corder.index(2))
+            yb = (np.float32(REC709[0]) * lin[ir:ir + 1]
+                  + np.float32(REC709[1]) * lin[ig:ig + 1]
+                  + np.float32(REC709[2]) * lin[ib:ib + 1])
+            ya = (np.float32(REC709[0]) * out_lin[ir:ir + 1]
+                  + np.float32(REC709[1]) * out_lin[ig:ig + 1]
+                  + np.float32(REC709[2]) * out_lin[ib:ib + 1])
             ratio = jnp.clip(yb / jnp.maximum(ya, np.float32(1e-6)), 0.5, 2.0)
             out_lin = out_lin * ratio
         if s.lut_exact:
