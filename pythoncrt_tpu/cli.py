@@ -103,7 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipe-format", type=str, default="rgb24",
                    choices=["rgb24", "yuv420p"],
                    help="rawvideo decode pipe format (yuv420p halves pipe "
-                        "bandwidth; host converts via the native kernel)")
+                        "bandwidth; host converts via the native kernel). "
+                        "rgb24 auto-promotes to planar gbrp pipes when "
+                        "ffmpeg and the config allow (PCRT_NO_PLANAR=1 "
+                        "opts out)")
     p.add_argument("--segment-frames", type=int, default=0,
                    help="checkpoint the render every N frames (segment "
                         "files + resume journal; re-running the same "

@@ -177,6 +177,12 @@ class FFmpegRawReader:
     pipe_format="yuv420p" halves the pipe bandwidth (1.5 vs 3 B/px) and
     converts on the host via the native BT.601 kernel — an opt-in perf
     mode (byte output differs slightly from ffmpeg's own rgb24 path).
+    pipe_format="gbrp" yields PLANAR (3, H, W) uint8 frames in ffmpeg's
+    G,B,R plane order — the engine's planar layout consumes these
+    untouched (CRTEngine(layout="planar", channel_order="gbr")), so the
+    decoded bytes land in the kernels with zero host repack and zero
+    on-device relayout. Same bytes per frame as rgb24; the caller's
+    read_into buffer decides the shape (the read is format-blind).
     Reads use the native GIL-released exact-read loop when available.
     """
 
@@ -190,10 +196,13 @@ class FFmpegRawReader:
         exe = find_ffmpeg()
         if not exe:
             raise RuntimeError("no ffmpeg binary available")
-        if pipe_format not in ("rgb24", "yuv420p"):
+        if pipe_format not in ("rgb24", "yuv420p", "gbrp"):
             raise ValueError(f"unsupported pipe_format {pipe_format!r}")
         self.out_w, self.out_h = int(out_w), int(out_h)
         self.pipe_format = pipe_format
+        self.frame_shape = ((3, self.out_h, self.out_w)
+                            if pipe_format == "gbrp"
+                            else (self.out_h, self.out_w, 3))
         self._yuv_buf = None
         cmd = [exe, "-hide_banner", "-loglevel", "error"]
         if hwaccel and hwaccel != "auto":
@@ -264,9 +273,8 @@ class FFmpegRawReader:
         return got == w * h * 3
 
     def iter_frames(self) -> Iterator[np.ndarray]:
-        w, h = self.out_w, self.out_h
         while True:
-            out = np.empty((h, w, 3), np.uint8)
+            out = np.empty(self.frame_shape, np.uint8)
             if not self.read_into(out):
                 return
             yield out
@@ -387,6 +395,9 @@ class ChunkedParallelReader:
 
         self.src, self.out_w, self.out_h, self.fps = str(src), int(out_w), int(out_h), float(fps)
         self.pref, self.pipe_format = decoder_preference, pipe_format
+        self.frame_shape = ((3, self.out_h, self.out_w)
+                            if pipe_format == "gbrp"
+                            else (self.out_h, self.out_w, 3))
         self.batch = int(batch_size)
         # cap resident chunk buffers: each worker holds up to 3 chunks
         # (queue 2 + in-flight), so at 4K a 64-frame chunk would pin
@@ -454,7 +465,7 @@ class ChunkedParallelReader:
                     src_fps=self._src_fps)
                 try:
                     got = 0
-                    buf = np.empty((f1 - f0, self.out_h, self.out_w, 3), np.uint8)
+                    buf = np.empty((f1 - f0, *self.frame_shape), np.uint8)
                     while got < f1 - f0 and not self._stop.is_set():
                         if not rdr.read_into(buf[got]):
                             break
@@ -472,7 +483,7 @@ class ChunkedParallelReader:
                         # can't pin unbounded RAM in one queue item.
                         ext = self.n_chunks
                         while not self._stop.is_set():
-                            ebuf = np.empty((self.chunk, self.out_h, self.out_w, 3), np.uint8)
+                            ebuf = np.empty((self.chunk, *self.frame_shape), np.uint8)
                             egot = 0
                             while (egot < self.chunk and not self._stop.is_set()
                                    and rdr.read_into(ebuf[egot])):
@@ -554,7 +565,10 @@ def open_reader(
             return FFmpegRawReader(src, out_w, out_h, fps, accel, pipe_format,
                                    start_frame, src_fps=src_fps)
         except Exception:
-            pass
+            if pipe_format == "gbrp":
+                raise  # planar frames need the ffmpeg pipe; no cv2 shape
+    elif pipe_format == "gbrp":
+        raise RuntimeError("pipe_format 'gbrp' requires an ffmpeg binary")
     return CV2Reader(src, out_w, out_h, fps, start_frame)
 
 
@@ -563,17 +577,26 @@ def open_reader(
 # --------------------------------------------------------------------------
 
 class FFmpegRawWriter:
-    """ffmpeg-subprocess encoder consuming RGB uint8 frames over a
-    rawvideo stdin pipe (the FFMPEG_VideoWriter role, crt_filter.py:1014)."""
+    """ffmpeg-subprocess encoder consuming uint8 frames over a rawvideo
+    stdin pipe (the FFMPEG_VideoWriter role, crt_filter.py:1014).
+
+    pix_fmt="rgb24" takes interleaved (H, W, 3) frames; "gbrp" takes
+    PLANAR (3, H, W) frames in G,B,R plane order — the engine's planar
+    layout emits exactly those bytes, so device output pipes into the
+    encoder with zero host repack (ffmpeg's swscale converts either
+    format to the encoder's yuv target the same way)."""
 
     def __init__(self, dst: str, w: int, h: int, fps: float, codec: str,
-                 ffparams: list[str], audio_path: Optional[str] = None) -> None:
+                 ffparams: list[str], audio_path: Optional[str] = None,
+                 pix_fmt: str = "rgb24") -> None:
         exe = find_ffmpeg()
         if not exe:
             raise RuntimeError("no ffmpeg binary available")
+        if pix_fmt not in ("rgb24", "gbrp"):
+            raise ValueError(f"unsupported pix_fmt {pix_fmt!r}")
         cmd = [
             exe, "-hide_banner", "-loglevel", "error", "-y",
-            "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
+            "-f", "rawvideo", "-pix_fmt", pix_fmt, "-s", f"{w}x{h}",
             "-r", str(fps), "-i", "-",
         ]
         if audio_path:
@@ -649,19 +672,24 @@ def open_writer(
     dst: str, w: int, h: int, fps: float, *,
     encoder_preference: str = "auto", gpu: bool = False, crf: int = 18,
     bitrate_kbps: int = 0, nvenc_preset: str = "p4",
-    audio_path: Optional[str] = None,
+    audio_path: Optional[str] = None, pix_fmt: str = "rgb24",
 ) -> tuple[object, bool]:
-    """Returns (writer, used_gpu)."""
+    """Returns (writer, used_gpu). pix_fmt="gbrp" (planar frames)
+    requires the ffmpeg pipe — there is no cv2 fallback for it."""
     if find_ffmpeg():
         codec = select_encoder(encoder_preference, gpu)
         params = encoder_ffparams(codec, crf, bitrate_kbps, nvenc_preset)
         try:
             return (
-                FFmpegRawWriter(dst, w, h, fps, codec, params, audio_path),
+                FFmpegRawWriter(dst, w, h, fps, codec, params, audio_path,
+                                pix_fmt=pix_fmt),
                 codec in ("h264_nvenc", "h264_amf"),
             )
         except Exception:
-            pass
+            if pix_fmt != "rgb24":
+                raise
+    elif pix_fmt != "rgb24":
+        raise RuntimeError(f"pix_fmt {pix_fmt!r} requires an ffmpeg binary")
     return CV2Writer(dst, w, h, fps), False
 
 

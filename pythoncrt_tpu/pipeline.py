@@ -72,10 +72,11 @@ def _feeder(
                 if stop.is_set() or not _put_or_stop(out_q, (idx0, batch), stop):
                     break
             return
-        h, w = reader.out_h, reader.out_w
+        fshape = getattr(reader, "frame_shape",
+                         (reader.out_h, reader.out_w, 3))
         idx0 = start_idx
         while not stop.is_set():
-            buf = np.empty((batch_size, h, w, 3), np.uint8)
+            buf = np.empty((batch_size, *fshape), np.uint8)
             got = 0
             with perf.timed("io.decode"):
                 while got < batch_size and reader.read_into(buf[got]):
@@ -240,24 +241,43 @@ def process_video(
 
     text_rgba = overlay_for(out_w, out_h, params.text)
     with perf.timed("fx.compile"):
-        eng = CRTEngine(
-            params, out_h, out_w, fps_out,
-            engine=engine_mode, rng=rng, seed=seed,
-            text_rgba=text_rgba, assoc_scan=assoc_scan, precision=precision,
-        )
-        runner = eng
+        will_shard = False
         if sharding == "auto":
             import jax
 
             ndev = len(jax.devices())
             if devices > 0:
                 ndev = min(ndev, devices)
-            if ndev > 1 and batch_size % ndev == 0:
-                from .parallel import ShardedCRTEngine, make_mesh
-
-                runner = ShardedCRTEngine(eng, make_mesh(ndev))
+            will_shard = ndev > 1 and batch_size % ndev == 0
         elif sharding not in ("none",):
             raise ValueError(f"sharding must be 'auto' or 'none', got {sharding!r}")
+        # Planar fast path: when ffmpeg pipes both sides, decode gbrp
+        # planes straight into the engine's planar layout and pipe
+        # planar output back to the encoder — zero host repack, zero
+        # on-device relayout (layout="auto" falls back to NHWC for
+        # configs the planar step doesn't cover; the sharded runner
+        # keeps the NHWC contract). PCRT_NO_PLANAR=1 opts out.
+        want_planar = (
+            not will_shard
+            and pipe_format == "rgb24"
+            and vio.find_ffmpeg() is not None
+            and os.environ.get("PCRT_NO_PLANAR") != "1"
+        )
+        eng = CRTEngine(
+            params, out_h, out_w, fps_out,
+            engine=engine_mode, rng=rng, seed=seed,
+            text_rgba=text_rgba, assoc_scan=assoc_scan, precision=precision,
+            layout="auto" if want_planar else "nhwc",
+            channel_order="gbr" if want_planar else "rgb",
+        )
+        planar = eng.layout == "planar"
+        runner = eng
+        if will_shard:
+            from .parallel import ShardedCRTEngine, make_mesh
+
+            runner = ShardedCRTEngine(eng, make_mesh(ndev))
+    pipe_eff = "gbrp" if planar else pipe_format
+    out_pix_fmt = "gbrp" if planar else "rgb24"
 
     segmented = segment_frames > 0
     writer = None
@@ -279,6 +299,10 @@ def process_video(
             "w": out_w, "h": out_h, "fps": fps_out, "seg": seg_len,
             "engine": engine_mode, "rng": rng, "seed": seed,
             "precision": precision,
+            # carry snapshots are layout-shaped; a layout change between
+            # runs must invalidate the journal rather than resume into
+            # mismatched state arrays
+            "layout": eng.layout,
             "params": dataclasses.asdict(params.clamped()),
         }
         store = SegmentStore(output_path, sig)
@@ -292,13 +316,14 @@ def process_video(
             encoder_preference=encoder_preference, gpu=gpu, crf=crf,
             bitrate_kbps=target_bitrate_kbps, nvenc_preset=nvenc_preset,
             audio_path=None,  # audio is muxed at merge time
+            pix_fmt=out_pix_fmt,
         )
     else:
         writer, used_gpu = vio.open_writer(
             str(output_path), out_w, out_h, fps_out,
             encoder_preference=encoder_preference, gpu=gpu, crf=crf,
             bitrate_kbps=target_bitrate_kbps, nvenc_preset=nvenc_preset,
-            audio_path=audio_path,
+            audio_path=audio_path, pix_fmt=out_pix_fmt,
         )
 
     # opened after the resume point is known: the decoder seeks straight
@@ -311,12 +336,12 @@ def process_video(
         reader = vio.ChunkedParallelReader(
             str(input_path), out_w, out_h, fps_out, total_frames, batch_size,
             workers=decode_workers, decoder_preference=decoder_preference,
-            pipe_format=pipe_format, start_frame=skip,
+            pipe_format=pipe_eff, start_frame=skip,
         )
     else:
         reader = vio.open_reader(
             str(input_path), out_w, out_h, fps_out, decoder_preference,
-            pipe_format, start_frame=skip,
+            pipe_eff, start_frame=skip,
         )
 
     decode_q: queue.Queue = queue.Queue(maxsize=4)
