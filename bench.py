@@ -69,12 +69,14 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     import jax.numpy as jnp
 
     # PCRT_BENCH_LAYOUT=nhwc A/Bs the legacy interleaved layout; the
-    # default is the pipeline's planar feed (ffmpeg -pix_fmt gbrp
-    # decodes straight into the kernel layout, so staged planar frames
-    # are what production steps actually see).
-    layout = os.environ.get("PCRT_BENCH_LAYOUT", "planar")
+    # default mirrors the pipeline: layout=auto stages planar frames
+    # exactly where production feeds them (ffmpeg -pix_fmt gbrp decodes
+    # straight into the kernel layout) and NHWC elsewhere (e.g. the
+    # glitch configs, whose pipes stay rgb24).
+    layout = os.environ.get("PCRT_BENCH_LAYOUT", "auto")
     eng = CRTEngine(params, h, w, fps=30.0, assoc_scan=assoc_scan,
                     layout=layout)
+    layout = eng.layout  # auto resolves per config
     # CHAIN each step's uint8 output into the next step's input: the
     # axon relay dedupes/elides repeated identical executions (a 480p
     # config measured 1.1M fake fps with static inputs, r3), and

@@ -188,7 +188,8 @@ class CRTEngine:
         self.planar_ok = bool(
             self._pallas_fused
             and self._fused_spec is not None and self._fused_spec.pre
-            and not (p.glitch_on and getattr(self, "_glitch_rows", 0) > 0)
+            and not (p.glitch_on and getattr(self, "_glitch_rows", 0) > 0
+                     and not self._pallas_glitch)
             and not (self._has_text and p.text.after)
             and (not p.warp_on or self._pallas_warp)
         )
@@ -1035,10 +1036,18 @@ class CRTEngine:
                 from .kernels import glitch as _kg
 
                 seg_len = self.w if self.engine == "preview" else self._glitch_seg_len
-                imgs = _kg.shear_band_batched(
-                    imgs, self._glitch_y0, seg_offs, seg_len, self._interpret,
-                    self._exact,
-                )
+                if self.layout == "planar" and self.planar_ok:
+                    # imgs stayed planar from the fused/warp chain; the
+                    # glitch kernel is planar-native (no band transpose)
+                    imgs = _kg.shear_band_batched_planar(
+                        imgs, self._glitch_y0, seg_offs, seg_len,
+                        self._interpret, self._exact,
+                    )
+                else:
+                    imgs = _kg.shear_band_batched(
+                        imgs, self._glitch_y0, seg_offs, seg_len,
+                        self._interpret, self._exact,
+                    )
             else:
                 if self.engine == "preview":
                     per_px = seg_offs[:, :, 0]

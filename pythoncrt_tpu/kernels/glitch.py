@@ -124,6 +124,39 @@ def shear_planar(
     )(band, u)
 
 
+def _band_maps(b, w, rows, pad, seg_offsets_px, seg_len):
+    """Per-pixel source columns for the band (shared by both layouts):
+    returns (offw, u_unwrapped, u_wrapped), pad rows prepended as
+    identity."""
+    offw = jnp.rint(seg_offsets_px).astype(jnp.int32)  # (B, rows, NSEG)
+    seg_index = jnp.arange(w, dtype=jnp.int32) // seg_len
+    x = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    off_px = jnp.take(offw, seg_index, axis=2)  # (B, rows, W)
+    u_unwrapped = x + off_px
+    u_wrapped = u_unwrapped % w
+    if pad:
+        ident = jnp.broadcast_to(x, (b, pad, w))
+        u_unwrapped = jnp.concatenate([ident, u_unwrapped], axis=1)
+        u_wrapped = jnp.concatenate([ident, u_wrapped], axis=1)
+    return offw, u_unwrapped, u_wrapped
+
+
+def _shear_band(band, offw, u_unwrapped, u_wrapped, interpret, exact):
+    # Bounded-window fast path when every offset fits +-CLAMP (the
+    # reference's Gaussian draws exceed 128 px only at absurd sigma —
+    # ~7 sigma even at amp 24 — but the runtime cond keeps parity
+    # unconditional: oversized draws take the full-width kernel).
+    fits = jnp.all(jnp.abs(offw) <= CLAMP)
+    return jax.lax.cond(
+        fits,
+        lambda bd, uu, uw: shear_planar(bd, uu, interpret, exact,
+                                        window=True),
+        lambda bd, uu, uw: shear_planar(bd, uw, interpret, exact,
+                                        window=False),
+        band, u_unwrapped, u_wrapped,
+    )
+
+
 def shear_band_batched(
     imgs: jax.Array,
     y0: int,
@@ -145,31 +178,11 @@ def shear_band_batched(
     y0p = y0 - pad
     assert y0p >= 0, "band padding underflow — use the XLA fallback"
 
-    offw = jnp.rint(seg_offsets_px).astype(jnp.int32)  # (B, rows, NSEG)
-    seg_index = jnp.arange(w, dtype=jnp.int32) // seg_len
-    x = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    off_px = jnp.take(offw, seg_index, axis=2)  # (B, rows, W)
-    u_unwrapped = x + off_px
-    u_wrapped = u_unwrapped % w
-    if pad:
-        ident = jnp.broadcast_to(x, (b, pad, w))
-        u_unwrapped = jnp.concatenate([ident, u_unwrapped], axis=1)
-        u_wrapped = jnp.concatenate([ident, u_wrapped], axis=1)
-
+    offw, u_unwrapped, u_wrapped = _band_maps(
+        b, w, rows, pad, seg_offsets_px, seg_len)
     band = jnp.transpose(imgs[:, y0p:], (0, 3, 1, 2))  # (B, 3, RP, W)
-    # Bounded-window fast path when every offset fits +-CLAMP (the
-    # reference's Gaussian draws exceed 128 px only at absurd sigma —
-    # ~7 sigma even at amp 24 — but the runtime cond keeps parity
-    # unconditional: oversized draws take the full-width kernel).
-    fits = jnp.all(jnp.abs(offw) <= CLAMP)
-    out_band = jax.lax.cond(
-        fits,
-        lambda bd, uu, uw: shear_planar(bd, uu, interpret, exact,
-                                        window=True),
-        lambda bd, uu, uw: shear_planar(bd, uw, interpret, exact,
-                                        window=False),
-        band, u_unwrapped, u_wrapped,
-    )
+    out_band = _shear_band(band, offw, u_unwrapped, u_wrapped,
+                           interpret, exact)
     out_band = jnp.transpose(out_band, (0, 2, 3, 1))  # (B, RP, W, 3)
     # keep ORIGINAL rows above y0 (the pad rows went through the kernel
     # only to satisfy the 8-row grid; their values must pass through
@@ -179,3 +192,32 @@ def shear_band_batched(
     # 4K, round-3 c5 trace).
     return jax.lax.dynamic_update_slice(
         imgs, out_band[:, pad:], (0, y0, 0, 0))
+
+
+def shear_band_batched_planar(
+    imgs: jax.Array,
+    y0: int,
+    seg_offsets_px: jax.Array,
+    seg_len: int,
+    interpret: bool = False,
+    exact: bool = True,
+) -> jax.Array:
+    """shear_band_batched for PLANAR (B, 3, H, W) f32 frames — the
+    kernel is planar-native, so the band slices straight out of the
+    batch with no transpose at all (the engine's planar layout runs the
+    glitch chain without a single relayout)."""
+    b, _, h, w = imgs.shape
+    rows = h - y0
+    if rows <= 0:
+        return imgs
+    pad = (-rows) % TR
+    y0p = y0 - pad
+    assert y0p >= 0, "band padding underflow — use the XLA fallback"
+
+    offw, u_unwrapped, u_wrapped = _band_maps(
+        b, w, rows, pad, seg_offsets_px, seg_len)
+    band = imgs[:, :, y0p:]  # (B, 3, RP, W) — already the kernel layout
+    out_band = _shear_band(band, offw, u_unwrapped, u_wrapped,
+                           interpret, exact)
+    return jax.lax.dynamic_update_slice(
+        imgs, out_band[:, :, pad:], (0, 0, y0, 0))

@@ -49,14 +49,17 @@ def test_planar_matches_nhwc(name):
 def test_planar_ok_resolution():
     """planar_ok engages exactly where every stage is layout-agnostic."""
     assert build(identity_params(**FULL), layout="planar").planar_ok
-    # glitch consumes NHWC -> fallback
-    assert not build(identity_params(**CASES["with_glitch"][0]),
-                     layout="planar").planar_ok
+    # the glitch kernel is planar-native -> fast path holds
+    assert build(identity_params(**CASES["with_glitch"][0]),
+                 layout="planar").planar_ok
     # persistence is elementwise -> planar fast path holds
     assert build(identity_params(**CASES["with_persistence"][0]),
                  layout="planar").planar_ok
     # non-fused config -> fallback
     assert not build(identity_params(**CASES["c1_scan_vig"][0]),
+                     layout="planar").planar_ok
+    # 2-D scanlines: fused kernel rejects -> fallback
+    assert not build(identity_params(**CASES["scan_2d"][0]),
                      layout="planar").planar_ok
 
 

@@ -199,13 +199,14 @@ def test_planar_pipeline_end_to_end(tmp_path, monkeypatch):
 
 
 def test_planar_pipeline_fallback_config(tmp_path, monkeypatch):
-    """A config outside planar_ok (glitch on) must make the pipeline
-    fall back to NHWC rgb24 pipes even when ffmpeg is available —
-    layout="auto" resolves per config, and the pipe format follows."""
-    p = EffectParams(scanline_strength=0.5, triad_strength=0.3,
-                     bloom_strength=0.25, fast_bloom=True, persistence=0.5,
-                     glitch_amp_px=4, glitch_height_frac=0.3,
-                     scanline_speed_px_s=60.0)
+    """A config outside planar_ok (2-D scanlines: the fused kernel
+    rejects) must make the pipeline fall back to NHWC rgb24 pipes even
+    when ffmpeg is available — layout="auto" resolves per config, and
+    the pipe format follows."""
+    p = EffectParams(scanline_strength=0.5, scanline_angle=12.0,
+                     scanline_thickness=2.0, triad_strength=0.3,
+                     bloom_strength=0.25, fast_bloom=True,
+                     vignette_strength=0.2)
     clip = write_clip(tmp_path / "in.mp4", synth_frames(N, H, W, seed=9))
     _engine_interpret(monkeypatch)
 
