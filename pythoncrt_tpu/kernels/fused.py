@@ -257,18 +257,33 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     win = win_ref[slot][0]  # (3, wr, W), u8 (pre) or f32
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, wr, 1), 1)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
 
     # ---------------- prologue: stages 2+3 composed, 1, 4 ----------------
-    if s.pre and debug == "nopre":
-        x = win.astype(jnp.int32).astype(jnp.float32) * np.float32(1.0 / 255.0)
-    elif s.pre:
+    # Runs PER BRANCH on a row slice of the window: mid-stripe programs
+    # (all but 2 per frame) only need the rows the blur actually reads
+    # (ty + 2r gaussian / ty + a fixed few fast / exactly ty bloom-off),
+    # not the full ty+16 window — measured ~0.39 ms/f of prologue+blur
+    # VPU at 1080p scaling with the row count. The slice offset `a` is
+    # kept a multiple of px (px | 8 and window origins are 0 mod px,
+    # so the row%px shift selectors are unchanged on the slice), and
+    # even for the fast variant (row-parity weights).
+    def prologue(wslice):
+        rows_n = wslice.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, rows_n, 1), 1)
+        if s.pre and debug == "nopre":
+            return wslice.astype(jnp.int32).astype(jnp.float32) \
+                * np.float32(1.0 / 255.0)
+        if not s.pre:
+            return wslice  # already the engine's pre-processed f32
         # rolls commute with the convert; Mosaic has no direct u8->f32
         # cast, so widen through i32 (values 0..255 are exact in both)
-        x = win.astype(jnp.int32).astype(jnp.float32)
+        x = wslice.astype(jnp.int32).astype(jnp.float32)
         if s.px > 1:
-            # y: out row g reads g - g%px; lo is px-aligned so the local
-            # shift equals row % px (engine._frame_pre_bloom semantics)
+            # y: out row g reads g - g%px; window origin AND slice
+            # offset are px-aligned, so the local shift equals
+            # row % px (engine._frame_pre_bloom semantics), and every
+            # selected row's source row is inside the slice
             res = x
             for s0 in range(1, s.px):
                 res = jnp.where(row % s.px == s0,
@@ -327,81 +342,93 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                 x = jnp.clip(x * np.float32(s.inv_gamma), 0.0, 1.0)
             else:
                 x = jnp.clip(jnp.power(x, np.float32(s.inv_gamma)), 0.0, 1.0)
-    else:
-        x = win  # already the engine's pre-processed f32
+        return x
+
+    def knee(xv):
+        # stage-6 soft-knee threshold; multiply form == XLA-TPU's
+        # lowering of the engine's division (see the stage-1 /255 note;
+        # bloom3 kernels match)
+        if not (s.bloom and s.threshold > 0.0):
+            return xv
+        thr = np.float32(min(0.99, max(0.0, s.threshold)))
+        den = np.float32(max(1e-6, 1.0 - float(thr)))
+        rden = np.float32(1.0 / float(den))
+        return jnp.clip((xv - thr) * rden, 0.0, 1.0)
 
     # ---------------- bloom (stage 6) ----------------
     # Gaussian: the bloom3 exact core. Fast: the bloom3_fast half-res
     # down+up parity core. Both reproduce the oracle's f32 op order.
-    src = x
-    if s.bloom and s.threshold > 0.0:
-        # multiply form == XLA-TPU's lowering of the engine's division
-        # (see the stage-1 /255 comment above; bloom3 kernels match)
-        thr = np.float32(min(0.99, max(0.0, s.threshold)))
-        den = np.float32(max(1e-6, 1.0 - float(thr)))
-        rden = np.float32(1.0 / float(den))  # rcp of the f32 den, as XLA folds it
-        src = jnp.clip((src - thr) * rden, 0.0, 1.0)
+    px_eff = s.px if (s.pre and s.px > 1) else 1
+    if s.bloom and not s.fast:
+        a_mid = ((8 - r) // px_eff) * px_eff
+        b_mid = 8 + ty + r
+    elif s.bloom:
+        # fast keeps the FULL window: unlike the gaussian mid (pure
+        # static slices), the fast core rolls along the row axis, and
+        # slicing measured a consistent ~1% LOSS at c4 (1325 -> 1305
+        # unaligned 46 rows; 1310-1315 8-aligned ty+8 rows) — its
+        # prologue is too cheap for the row cut to pay for the slice
+        a_mid, b_mid = 0, wr
+    else:
+        a_mid = (8 // px_eff) * px_eff  # == 8 (px | 8)
+        b_mid = 8 + ty
 
-    orow = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
+    half = np.float32(0.5)
 
-    if not s.bloom:
-        pass  # stage 6 off: the stripe passes through below
-    elif s.fast:
-        half = np.float32(0.5)
-        # D rows: half-rows at EVEN window rows (window origins are
-        # 8-aligned, so window-row parity == frame-row parity); odd
-        # rows hold garbage every later read skips by construction
-        dr = half * src + half * pltpu.roll(src, wr - 1, axis=1)
+    def lanevec(even, odd, overrides):
+        v = jnp.where(lane % 2 == 0, np.float32(even), np.float32(odd))
+        for j, val in overrides.items():
+            v = jnp.where(lane == j, np.float32(val), v)
+        return v
+
+    def sl_lanes(arr, sh):
+        if sh == 0:
+            return arr
+        return pltpu.roll(arr, (w - sh) % w, axis=2)
+
+    def up_cols(ur):
+        l_e_lo = lanevec(0.25, 0.0, {0: 0.0})
+        l_e_hi = lanevec(0.75, 0.0, {0: 1.0})
+        l_o_lo = lanevec(0.0, 0.75, {w - 1: 1.0})
+        l_o_hi = lanevec(0.0, 0.25, {w - 1: 0.0})
+        lo_terms = l_e_lo * sl_lanes(ur, -2) + l_o_lo * sl_lanes(ur, -1)
+        hi_terms = l_e_hi * ur + l_o_hi * sl_lanes(ur, 1)
+        return lo_terms + hi_terms
+
+    def rowvec(fill, overrides):
+        even, odd = fill
+        v = jnp.where(orow % 2 == 0, np.float32(even), np.float32(odd))
+        for r0, val in overrides.items():
+            v = jnp.where(orow == r0, np.float32(val), v)
+        return v
+
+    def fast_blurred(src, rows_n, d, pos):
+        # D rows: half-rows at EVEN slice rows (window origins are
+        # 8-aligned and slice offsets even, so slice-row parity ==
+        # frame-row parity); odd rows hold garbage every later read
+        # skips by construction
+        dr = half * src + half * pltpu.roll(src, rows_n - 1, axis=1)
         # D cols: half-res values at even rows x even lanes
         hrw = half * dr + half * pltpu.roll(dr, w - 1, axis=2)
 
         def sl_rows(sh):
-            if 0 <= sh and sh + ty <= wr:
+            if 0 <= sh and sh + ty <= rows_n:
                 return hrw[:, sh:sh + ty, :]
-            return pltpu.roll(hrw, (wr - sh) % wr, axis=1)[:, 0:ty, :]
+            return pltpu.roll(hrw, (rows_n - sh) % rows_n, axis=1)[:, 0:ty, :]
 
-        def rowvec(fill, overrides):
-            even, odd = fill
-            v = jnp.where(orow % 2 == 0, np.float32(even), np.float32(odd))
-            for r0, val in overrides.items():
-                v = jnp.where(orow == r0, np.float32(val), v)
-            return v
+        first_row, last_row = pos == "top", pos == "bot"
+        # U rows (bloom3._bloom3_fast_kernel, op for op): even rows
+        # lo@d-2 (.25) hi@d (.75); odd rows lo@d-1 (.75) hi@d+1
+        # (.25); frame first/last rows override to the 1.0 edge tap
+        w_e_lo = rowvec((0.25, 0.0), {0: 0.0} if first_row else {})
+        w_e_hi = rowvec((0.75, 0.0), {0: 1.0} if first_row else {})
+        w_o_lo = rowvec((0.0, 0.75), {ty - 1: 1.0} if last_row else {})
+        w_o_hi = rowvec((0.0, 0.25), {ty - 1: 0.0} if last_row else {})
+        lo_terms = w_e_lo * sl_rows(d - 2) + w_o_lo * sl_rows(d - 1)
+        hi_terms = w_e_hi * sl_rows(d) + w_o_hi * sl_rows(d + 1)
+        return up_cols(lo_terms + hi_terms)
 
-        def up_rows(d, first_row, last_row):
-            # U rows (bloom3._bloom3_fast_kernel, op for op): even rows
-            # lo@d-2 (.25) hi@d (.75); odd rows lo@d-1 (.75) hi@d+1
-            # (.25); frame first/last rows override to the 1.0 edge tap
-            w_e_lo = rowvec((0.25, 0.0), {0: 0.0} if first_row else {})
-            w_e_hi = rowvec((0.75, 0.0), {0: 1.0} if first_row else {})
-            w_o_lo = rowvec((0.0, 0.75), {ty - 1: 1.0} if last_row else {})
-            w_o_hi = rowvec((0.0, 0.25), {ty - 1: 0.0} if last_row else {})
-            lo_terms = w_e_lo * sl_rows(d - 2) + w_o_lo * sl_rows(d - 1)
-            hi_terms = w_e_hi * sl_rows(d) + w_o_hi * sl_rows(d + 1)
-            return lo_terms + hi_terms
-
-        def lanevec(even, odd, overrides):
-            v = jnp.where(lane % 2 == 0, np.float32(even), np.float32(odd))
-            for j, val in overrides.items():
-                v = jnp.where(lane == j, np.float32(val), v)
-            return v
-
-        def sl_lanes(arr, sh):
-            if sh == 0:
-                return arr
-            return pltpu.roll(arr, (w - sh) % w, axis=2)
-
-        def up_cols(ur):
-            l_e_lo = lanevec(0.25, 0.0, {0: 0.0})
-            l_e_hi = lanevec(0.75, 0.0, {0: 1.0})
-            l_o_lo = lanevec(0.0, 0.75, {w - 1: 1.0})
-            l_o_hi = lanevec(0.0, 0.25, {w - 1: 0.0})
-            lo_terms = l_e_lo * sl_lanes(ur, -2) + l_o_lo * sl_lanes(ur, -1)
-            hi_terms = l_e_hi * ur + l_o_hi * sl_lanes(ur, 1)
-            return lo_terms + hi_terms
-
-        def _blurred(d, pos):
-            return up_cols(up_rows(d, pos == "top", pos == "bot"))
-    else:
+    def gauss_hpass(src):
         taps = s.taps
         hp = None
         for i, t_ in enumerate(taps):
@@ -424,77 +451,71 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
         if r > 0:
             hp = hp + clv * src[:, :, 0:1]
             hp = hp + crv * src[:, :, w - 1:w]
+        return hp
 
-        def sl_(arr, sh):
-            if 0 <= sh and sh + ty <= wr:
-                return arr[:, sh:sh + ty, :]
-            return pltpu.roll(arr, (wr - sh) % wr, axis=1)[:, 0:ty, :]
+    def gauss_blurred(src, rows_n, d, pos):
+        taps = s.taps
+        hp = gauss_hpass(src)
 
-        top_coef = jnp.zeros((1, ty, 1), jnp.float32)
-        bot_coef = jnp.zeros((1, ty, 1), jnp.float32)
+        def sl_(sh):
+            if 0 <= sh and sh + ty <= rows_n:
+                return hp[:, sh:sh + ty, :]
+            return pltpu.roll(hp, (rows_n - sh) % rows_n, axis=1)[:, 0:ty, :]
+
+        out = None
         for i, t_ in enumerate(taps):
-            if i < r:
-                top_coef = top_coef + jnp.where(orow < r - i, np.float32(t_),
-                                                np.float32(0.0))
-            if i > r:
-                bot_coef = bot_coef + jnp.where(orow > ty - 1 - (i - r),
-                                                np.float32(t_), np.float32(0.0))
-
-        def _blurred(d, pos):
-            out = None
+            sh = d + i - r
+            if pos == "mid" or (pos == "top" and i >= r) \
+                    or (pos == "bot" and i <= r):
+                term = np.float32(t_) * sl_(sh)
+            elif pos == "top":
+                term = np.float32(t_) * jnp.where(orow >= r - i, sl_(sh), 0.0)
+            else:
+                term = np.float32(t_) * jnp.where(orow < ty - (i - r),
+                                                  sl_(sh), 0.0)
+            out = term if out is None else out + term
+        if r > 0 and pos == "top":
+            coef = jnp.zeros((1, ty, 1), jnp.float32)
             for i, t_ in enumerate(taps):
-                sh = d + i - r
-                if pos == "mid" or (pos == "top" and i >= r) \
-                        or (pos == "bot" and i <= r):
-                    term = np.float32(t_) * sl_(hp, sh)
-                elif pos == "top":
-                    term = np.float32(t_) * jnp.where(orow >= r - i,
-                                                      sl_(hp, sh), 0.0)
-                else:
-                    term = np.float32(t_) * jnp.where(orow < ty - (i - r),
-                                                      sl_(hp, sh), 0.0)
-                out = term if out is None else out + term
-            if r > 0 and pos == "top":
-                out = out + top_coef * hp[:, 0:1, :]
-            if r > 0 and pos == "bot":
-                out = out + bot_coef * hp[:, wr - 1:wr, :]
-            return out
+                if i < r:
+                    coef = coef + jnp.where(orow < r - i, np.float32(t_),
+                                            np.float32(0.0))
+            out = out + coef * hp[:, 0:1, :]
+        if r > 0 and pos == "bot":
+            coef = jnp.zeros((1, ty, 1), jnp.float32)
+            for i, t_ in enumerate(taps):
+                if i > r:
+                    coef = coef + jnp.where(orow > ty - 1 - (i - r),
+                                            np.float32(t_), np.float32(0.0))
+            out = out + coef * hp[:, rows_n - 1:rows_n, :]
+        return out
 
-    def composite(blurred, d):
-        base = x[:, d:d + ty, :]  # pre-knee center rows live in VMEM
-        return jnp.clip(base + np.float32(s.strength) * blurred, 0.0, 1.0)
+    def chain(a, b2, d, pos):
+        """prologue + knee + blur + composite on window rows [a, b2);
+        d is the composite base offset in WINDOW rows."""
+        x = prologue(win[:, a:b2])
+        if not s.bloom or debug == "noblur":
+            return x[:, d - a:d - a + ty, :]
+        src = knee(x)
+        rows_n = b2 - a
+        bl = (fast_blurred if s.fast else gauss_blurred)(src, rows_n,
+                                                         d - a, pos)
+        base = x[:, d - a:d - a + ty, :]  # pre-knee center rows in VMEM
+        return jnp.clip(base + np.float32(s.strength) * bl, 0.0, 1.0)
 
-    if not s.bloom:
-        # stage 6 off: the stripe rows pass through at their per-branch
-        # window offsets (0 / 8 / 16 — window origins clip at the frame
-        # edges, see start_dma). The 16-row halo is still DMA'd (wasted
-        # here, ~3 us/f of u8 reads at 1080p); a halo-free bloom-off
-        # window variant isn't worth forking the DMA/branch logic for.
-        @pl.when(jnp.logical_and(p != 0, p != nyt - 1))
-        def _():
-            mid_ref[...] = x[:, 8:8 + ty, :]
+    @pl.when(jnp.logical_and(p != 0, p != nyt - 1))
+    def _():
+        mid_ref[...] = chain(a_mid, b_mid, 8, "mid")
 
-        @pl.when(p == 0)
-        def _():
-            mid_ref[...] = x[:, 0:ty, :]
+    # border programs keep the full window: the replicate fixups
+    # reference window rows 0 / wr-1, and there are only 2 per frame
+    @pl.when(p == 0)
+    def _():
+        mid_ref[...] = chain(0, wr, 0, "top")
 
-        @pl.when(p == nyt - 1)
-        def _():
-            mid_ref[...] = x[:, 16:16 + ty, :]
-    elif debug == "noblur":
-        mid_ref[...] = x[:, 8:8 + ty, :]
-    else:
-        @pl.when(jnp.logical_and(p != 0, p != nyt - 1))
-        def _():
-            mid_ref[...] = composite(_blurred(8, "mid"), 8)
-
-        @pl.when(p == 0)
-        def _():
-            mid_ref[...] = composite(_blurred(0, "top"), 0)
-
-        @pl.when(p == nyt - 1)
-        def _():
-            mid_ref[...] = composite(_blurred(16, "bot"), 16)
+    @pl.when(p == nyt - 1)
+    def _():
+        mid_ref[...] = chain(0, wr, 16, "bot")
 
     # ---------------- epilogue: stages 7-11 + emit ----------------
     m = mid_ref[...]  # (3, ty, W) — common to all three stripe branches
