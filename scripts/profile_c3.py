@@ -39,9 +39,17 @@ def main() -> None:
 
     h, w, batch = 1080, 1920, 32
     name = "c3_full_1080p" if cfg == "c3" else "c4_temporal_1080p"
-    eng = CRTEngine(config_params(name), h, w, fps=30.0)
-    frames = jax.device_put(make_frames(batch, h, w))
-    frames2 = jax.device_put(make_frames(batch, h, w, seed=1))
+    # layout=auto mirrors the shipping pipeline (planar gbrp feed where
+    # the config qualifies)
+    eng = CRTEngine(config_params(name), h, w, fps=30.0, layout="auto")
+
+    def stage(arr):
+        if eng.layout == "planar":
+            arr = np.ascontiguousarray(np.transpose(arr, (0, 3, 1, 2)))
+        return jax.device_put(arr)
+
+    frames = stage(make_frames(batch, h, w))
+    frames2 = stage(make_frames(batch, h, w, seed=1))
     aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
     state = eng.init_state()
     first = jnp.zeros((1,), jnp.bool_)
