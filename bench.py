@@ -93,24 +93,42 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     # 1.12M fps on 2026-08-17 this way, ~1500x the honest number).
     # Unique starting content makes every chained step unique forever;
     # FLOPs are content-independent.
+    # steps-per-call: n sequential chunks scanned inside ONE dispatch
+    # (engine.jitted_multi_step) — amortizes the per-call dispatch
+    # overhead this rig's relay charges (~0.1 ms/frame at n=1), exactly
+    # as pipeline.py's steps_per_call batching does in production
+    # (auto=4 there; the default here matches). Measured c3 2026-08-18:
+    # spc=1 878.3, spc=2 890.3, spc=4 906.6, spc=8 912.5 fps — ~40% of
+    # the busy-vs-wall gap is per-dispatch and amortizes; the rest is
+    # per-op. 4 is the production default (8 doubles host RAM held in
+    # flight for +6 fps).
+    spc = int(os.environ.get("PCRT_BENCH_SPC", "4"))
     salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3), dtype=np.uint8)
-    staged = make_frames(batch, h, w) ^ salt
+    staged = make_frames(spc * batch, h, w) ^ salt
     if layout == "planar":
         staged = np.ascontiguousarray(np.transpose(staged, (0, 3, 1, 2)))
+    aux_np = eng.make_aux(np.arange(spc * batch))
+    if spc > 1:
+        staged = staged.reshape((spc, batch) + staged.shape[1:])
+        aux = jax.tree.map(
+            lambda a: jax.device_put(
+                jnp.reshape(a, (spc, batch) + a.shape[1:])), aux_np)
+        step = eng.jitted_multi_step()
+    else:
+        aux = jax.tree.map(jax.device_put, aux_np)
+        step = eng.jitted_step()
     frames = jax.device_put(staged)
-    aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
     state = eng.init_state()
     first = jnp.zeros((1,), jnp.bool_)
-    step = eng.jitted_step()
 
     def sync(arr):
         # block_until_ready on this relay intermittently returns before
         # the work ran (measured 2026-08-17: c3 "1.12M fps", ~1500x the
-        # honest number, even with unique inputs). A 3-byte host fetch
+        # honest number, even with unique inputs). A tiny host fetch
         # from the FINAL chained output cannot be satisfied without the
         # whole serialized chain executing: ~1 relay RTT (~30-60 ms) of
         # overhead per timed loop, amortized over iters.
-        return np.asarray(arr[0, 0, 0])
+        return np.asarray(arr[(0,) * (arr.ndim - 1)])
 
     t0 = time.perf_counter()
     out, _ = step(frames, aux, state, first, eng._c)
@@ -125,7 +143,7 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
         cur, _ = step(cur, aux, state, first, eng._c)
     sync(cur)
     dt = time.perf_counter() - t0
-    return batch * iters / dt, compile_s
+    return spc * batch * iters / dt, compile_s
 
 
 def bench_oracle(params, h, w, n_frames):

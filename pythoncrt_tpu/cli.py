@@ -5,7 +5,7 @@ Flag surface is name-for-name compatible with the reference CLI
 semantics applied by the driver (:1225-1266). TPU-specific additions:
 --batch-size, --engine-mode, --rng, --seed, --assoc-scan, --precision,
 --preset, --text-preset, --pipe-format, --segment-frames, --profile,
---sharding, --devices, --decode-workers, --check-deps.
+--sharding, --devices, --decode-workers, --steps-per-call, --check-deps.
 """
 
 from __future__ import annotations
@@ -124,6 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parallel seek-positioned decode workers "
                         "(1080p@1000fps needs ~6 GB/s of RGB decode; one "
                         "decoder stream usually can't sustain it)")
+    p.add_argument("--steps-per-call", type=int, default=0,
+                   help="batch chunks scanned inside one device dispatch "
+                        "(0 = auto: 4 single-device, 1 sharded/segmented)")
     return p
 
 
@@ -232,6 +235,7 @@ def main(argv=None) -> int:
         sharding=str(a.sharding),
         devices=max(0, int(a.devices)),
         decode_workers=max(1, int(a.decode_workers)),
+        steps_per_call=int(a.steps_per_call),
         segment_frames=max(0, int(a.segment_frames)),
         profile_dir=a.profile or None,
     )

@@ -210,6 +210,7 @@ class CRTEngine:
         # warp/triad tables). As parameters they stay resident in HBM
         # across calls and the program compiles quickly.
         self._jstep = jax.jit(self._step)
+        self._jmstep = jax.jit(self._multi_step)
 
     # ------------------------------------------------------------------
     # Pallas kernel selection
@@ -1159,6 +1160,33 @@ class CRTEngine:
                     jnp.transpose(ns[..., pc], (2, 0, 1)))
         return self._finish(self._batch_effects(frames_u8, aux, c), state, first_arr)
 
+    def _multi_step(self, frames_stack, aux_stack, state, first_arr, c: dict):
+        """N sequential _step chunks inside ONE compiled dispatch.
+
+        frames_stack: (n, B, ...) uint8; aux_stack: FrameAux whose
+        leaves carry a leading (n, B, ...); state/first_arr as in
+        _step. Returns ((n, B, ...) uint8 outputs, final state).
+
+        lax.scan threads the persistence state chunk-to-chunk exactly
+        like n successive _step calls (the first-frame flag drops after
+        chunk 0), so the math is identical — the point is dispatch
+        amortization: the per-call launch overhead (this rig's relay
+        charges ~0.1 ms/frame of it at B=32; real hosts pay PCIe
+        dispatch) is paid once per n chunks while the per-iteration
+        working set stays one chunk. Used by the pipeline's
+        steps_per_call batching and bench.py.
+        """
+
+        def body(carry, xs):
+            st, first = carry
+            frames, aux = xs
+            out, ns = self._step(frames, aux, st, first, c)
+            return (ns, jnp.zeros_like(first)), out
+
+        (ns, _), outs = jax.lax.scan(
+            body, (state, first_arr), (frames_stack, aux_stack))
+        return outs, ns
+
     def _assoc_persistence(self, imgs, state0):
         """O(log B) associative scan for s_t = p*s_{t-1} + (1-p)*x_t.
 
@@ -1278,7 +1306,41 @@ class CRTEngine:
             frames_u8, aux, state, jnp.full((1,), first, jnp.bool_), self._c
         )
 
+    def process_stack(self, frames_stack, frame_indices, state=None):
+        """Run n sequential chunks in ONE device dispatch (_multi_step).
+
+        frames_stack: (n, B, H, W, 3) uint8 — or (n, B, 3, H, W) for
+        layout="planar". frame_indices: (n, B) absolute frame indices.
+        Returns ((n, B, ...) uint8 outputs, final persistence state) —
+        bitwise identical to n successive process() calls (tested); the
+        point is one dispatch's launch overhead per n chunks.
+        """
+        frames_stack = jnp.asarray(frames_stack)
+        n, b = frames_stack.shape[0], frames_stack.shape[1]
+        exp = ((3, self.h, self.w) if self.layout == "planar"
+               else (self.h, self.w, 3))
+        if frames_stack.shape[2:] != exp:
+            raise ValueError(
+                f"frames shape {frames_stack.shape[2:]} != {exp} for "
+                f"layout={self.layout!r}")
+        idx = np.asarray(frame_indices).reshape(n, b)
+        aux = self.make_aux(idx.reshape(-1))
+        aux = jax.tree.map(
+            lambda a: jnp.reshape(a, (n, b) + a.shape[1:]), aux)
+        first = state is None
+        if first:
+            state = self.init_state()
+        return self._jmstep(
+            frames_stack, aux, state, jnp.full((1,), first, jnp.bool_),
+            self._c)
+
     def jitted_step(self):
         """The compiled step (frames, aux, state, first_arr, consts) ->
         (out_u8, state) — for benchmarking and sharded wrappers."""
         return self._jstep
+
+    def jitted_multi_step(self):
+        """The compiled n-chunk step (see _multi_step): stacked
+        (n, B, ...) frames/aux in, (n, B, ...) outputs + final state
+        out, one device dispatch per n chunks."""
+        return self._jmstep

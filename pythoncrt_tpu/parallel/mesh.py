@@ -222,23 +222,38 @@ class MultiClipEngine:
             # relayout copies around the Pallas calls (round-3 c5 trace:
             # ~0.9 ms/frame at 4K). The body IS the whole batch — jit it
             # directly; multi-device meshes keep the sharded wrapper.
-            self._step = jax.jit(per_shard)
+            body = per_shard
         else:
-            self._step = jax.jit(
-                jax.shard_map(
-                    per_shard,
-                    mesh=self.mesh,
-                    in_specs=(
-                        P(axis),  # flat frames, clip-major
-                        FrameAux(P(axis), P(axis), P(axis), None, None, None),
-                        P(axis),  # per-clip states
-                        P(),  # first flag (replicated)
-                        jax.tree.map(lambda _: P(), engine._c),
-                    ),
-                    out_specs=(P(axis), P(axis)),
-                    check_vma=False,
-                )
+            body = jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(
+                    P(axis),  # flat frames, clip-major
+                    FrameAux(P(axis), P(axis), P(axis), None, None, None),
+                    P(axis),  # per-clip states
+                    P(),  # first flag (replicated)
+                    jax.tree.map(lambda _: P(), engine._c),
+                ),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
             )
+        self._step = jax.jit(body)
+
+        def multi(flat_stack, aux_stack, states, first_arr, c):
+            # n sequential clip-batches in ONE dispatch (same scan-based
+            # dispatch amortization as CRTEngine._multi_step; the
+            # per-clip states thread chunk-to-chunk)
+            def sbody(carry, xs):
+                st, first = carry
+                flat, aux = xs
+                outs, ns = body(flat, aux, st, first, c)
+                return (ns, jnp.zeros_like(first)), outs
+
+            (ns, _), outs = jax.lax.scan(
+                sbody, (states, first_arr), (flat_stack, aux_stack))
+            return outs, ns
+
+        self._mstep = jax.jit(multi)
 
     def process(self, frames_u8, frame_indices, states=None):
         frames_u8 = jnp.asarray(frames_u8)
@@ -259,3 +274,29 @@ class MultiClipEngine:
         first_arr = jnp.full((1,), first, jnp.bool_)
         outs, new_states = self._step(flat, aux, states, first_arr, self.engine._c)
         return outs.reshape((c, b) + outs.shape[1:]), new_states
+
+    def process_stack(self, frames_stack, frame_indices, states=None):
+        """n sequential clip-batches in ONE device dispatch (_mstep).
+
+        frames_stack: (n, C, B, H, W, 3) uint8; frame_indices: (n, C, B).
+        Bitwise identical to n successive process() calls (tested) —
+        the per-clip persistence states thread chunk-to-chunk inside a
+        lax.scan, paying one dispatch's launch overhead per n chunks,
+        exactly as CRTEngine.process_stack does for the plain engine.
+        """
+        frames_stack = jnp.asarray(frames_stack)
+        n, c, b = frames_stack.shape[:3]
+        if c % self.ndev != 0:
+            raise ValueError(f"clip count {c} not divisible by mesh size {self.ndev}")
+        idx = np.asarray(frame_indices).reshape(n, c * b)
+        flat = frames_stack.reshape((n, c * b) + frames_stack.shape[3:])
+        aux = self.engine.make_aux(idx.reshape(-1))
+        aux = jax.tree.map(
+            lambda a: jnp.reshape(a, (n, c * b) + a.shape[1:]), aux)
+        first = states is None
+        if first:
+            states = jnp.zeros((c, self.engine.h, self.engine.w, 3), jnp.float32)
+        outs, new_states = self._mstep(
+            flat, aux, states, jnp.full((1,), first, jnp.bool_),
+            self.engine._c)
+        return outs.reshape((n, c, b) + outs.shape[2:]), new_states

@@ -204,6 +204,7 @@ def process_video(
     sharding: str = "auto",
     devices: int = 0,
     decode_workers: int = 1,
+    steps_per_call: int = 0,
     segment_frames: int = 0,
     progress_cb: Optional[Callable[[float], None]] = None,
     report: bool = True,
@@ -219,6 +220,12 @@ def process_video(
     devices when more than one is visible (persistence carry crosses
     shard boundaries on-device); "none" forces single-device.
     devices: cap on how many devices "auto" shards across (0 = all).
+
+    steps_per_call: batch chunks scanned inside ONE device dispatch
+    (engine.process_stack) — amortizes per-dispatch launch overhead
+    while the per-iteration working set stays one batch. 0 = auto
+    (4 on a single device; 1 when sharding across devices or writing
+    segments, whose journal snapshots the carry per batch).
 
     segment_frames > 0 enables intra-render checkpointing: output is
     written as batch-aligned segments with a resume journal (see
@@ -280,6 +287,14 @@ def process_video(
     out_pix_fmt = "gbrp" if planar else "rgb24"
 
     segmented = segment_frames > 0
+    spc = int(steps_per_call)
+    if spc <= 0:
+        # auto: one dispatch per 4 batches on a single device; keep
+        # per-batch dispatch when sharded (ShardedCRTEngine has its own
+        # step) or segmented (the journal snapshots the carry per batch)
+        spc = 1 if (will_shard or segmented) else 4
+    elif spc > 1 and (will_shard or segmented):
+        spc = 1
     writer = None
     used_gpu = False
     skip = 0
@@ -333,8 +348,11 @@ def process_video(
         # count; the sequential reader just reads to EOF
         decode_workers = 1
     if decode_workers > 1:
+        # spc > 1: chunk/batch granularity is the super-batch, so the
+        # feeder's iter_batches(feed_bs) contract holds (see below)
         reader = vio.ChunkedParallelReader(
-            str(input_path), out_w, out_h, fps_out, total_frames, batch_size,
+            str(input_path), out_w, out_h, fps_out, total_frames,
+            spc * batch_size,
             workers=decode_workers, decoder_preference=decoder_preference,
             pipe_format=pipe_eff, start_frame=skip,
         )
@@ -344,12 +362,17 @@ def process_video(
             pipe_eff, start_frame=skip,
         )
 
-    decode_q: queue.Queue = queue.Queue(maxsize=4)
+    # spc > 1: the feeder fills SUPER-batches of spc*batch_size that the
+    # dispatch loop view-reshapes into (spc, B, ...) stacks — no extra
+    # host copy; the queue bound shrinks so host RAM held in flight
+    # stays ~constant
+    feed_bs = spc * batch_size
+    decode_q: queue.Queue = queue.Queue(maxsize=max(2, 4 // spc))
     encode_q: queue.Queue = queue.Queue(maxsize=4)
     stop = threading.Event()
     err: dict = {}
     t_dec = threading.Thread(
-        target=_feeder, args=(reader, batch_size, decode_q, stop, skip, err),
+        target=_feeder, args=(reader, feed_bs, decode_q, stop, skip, err),
         daemon=True,
     )
     if segmented:
@@ -387,6 +410,8 @@ def process_video(
                 item = (np.asarray(out_dev), None if st is None else np.asarray(st))
             else:
                 item = np.asarray(p)
+                if item.ndim == 5:  # (spc, B, ...) multi-step stack
+                    item = item.reshape((-1,) + item.shape[2:])
         # the writer thread drains even after a failure, so this cannot
         # block forever; surface its recorded error in the main thread
         while True:
@@ -406,28 +431,50 @@ def process_video(
                 item = decode_q.get()
                 if item is None:
                     break
-                idx0, batch = item
-                with perf.timed("fx.dispatch"):
-                    # the sharded runner needs mesh-divisible batches; the
-                    # stream tail falls back to the single-device engine
-                    use = runner if batch.shape[0] == batch_size else eng
-                    out_dev, state = use.process(
-                        batch, np.arange(idx0, idx0 + batch.shape[0]), state=state
-                    )
-                    out_dev.copy_to_host_async()
-                if pending is not None:
-                    enqueue(pending)
-                if segmented:
-                    # a batch that closes a segment carries the carry
-                    # snapshot its journal line commits with
-                    end = idx0 + batch.shape[0]
-                    at_boundary = end % seg_len == 0 and eng.params.persistence_on
-                    pending = (out_dev, state if at_boundary else None)
-                else:
+                idx0, sb = item
+                if spc > 1 and sb.shape[0] == feed_bs:
+                    # full super-batch: one multi-step dispatch covers
+                    # spc chunks (bitwise == spc process() calls)
+                    with perf.timed("fx.dispatch"):
+                        stack = sb.reshape((spc, batch_size) + sb.shape[1:])
+                        idxs = np.arange(idx0, idx0 + feed_bs)
+                        out_dev, state = eng.process_stack(
+                            stack, idxs.reshape(spc, batch_size), state=state)
+                        out_dev.copy_to_host_async()
+                    if pending is not None:
+                        enqueue(pending)
                     pending = out_dev
-                frames_done += batch.shape[0]
-                if _fail_after_frames and frames_done - skip >= _fail_after_frames:
-                    raise RuntimeError("injected failure (test hook)")
+                    frames_done += feed_bs
+                    if _fail_after_frames and frames_done - skip >= _fail_after_frames:
+                        raise RuntimeError("injected failure (test hook)")
+                    continue
+                # per-batch path: spc == 1, or a short super-batch tail
+                # sliced back into plain batches (views, no copies)
+                for off in range(0, sb.shape[0], batch_size):
+                    batch = sb[off:off + batch_size]
+                    i0 = idx0 + off
+                    with perf.timed("fx.dispatch"):
+                        # the sharded runner needs mesh-divisible batches;
+                        # the stream tail falls back to the single-device
+                        # engine
+                        use = runner if batch.shape[0] == batch_size else eng
+                        out_dev, state = use.process(
+                            batch, np.arange(i0, i0 + batch.shape[0]), state=state
+                        )
+                        out_dev.copy_to_host_async()
+                    if pending is not None:
+                        enqueue(pending)
+                    if segmented:
+                        # a batch that closes a segment carries the carry
+                        # snapshot its journal line commits with
+                        end = i0 + batch.shape[0]
+                        at_boundary = end % seg_len == 0 and eng.params.persistence_on
+                        pending = (out_dev, state if at_boundary else None)
+                    else:
+                        pending = out_dev
+                    frames_done += batch.shape[0]
+                    if _fail_after_frames and frames_done - skip >= _fail_after_frames:
+                        raise RuntimeError("injected failure (test hook)")
             if pending is not None:
                 enqueue(pending)
             clean = True

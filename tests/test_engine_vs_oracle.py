@@ -257,3 +257,43 @@ def test_property_sampled_params(frames_small):
         )
         eng = CRTEngine(p, H, W, FPS, rng="host")
         assert_lsb(eng, frames_small[:4])
+
+
+def test_multi_step_matches_sequential_steps(frames_small):
+    """jitted_multi_step (n chunks scanned in one dispatch) must be
+    bitwise identical to n successive jitted_step calls, including the
+    persistence carry and the first-frame flag handoff."""
+    import jax
+    import jax.numpy as jnp
+
+    p = identity_params(persistence=0.6, scanline_strength=0.4,
+                        noise_strength=5.0, bloom_strength=0.3,
+                        warp_strength=0.1)
+    eng = CRTEngine(p, H, W, FPS, rng="host")
+    n, b = 2, 4
+    frames = frames_small[: n * b]
+    aux = eng.make_aux(np.arange(n * b))
+
+    # sequential reference
+    step = eng.jitted_step()
+    state = eng.init_state()
+    outs_seq = []
+    for i in range(n):
+        chunk_aux = jax.tree.map(lambda a: a[i * b:(i + 1) * b], aux)
+        first = jnp.full((1,), i == 0, jnp.bool_)
+        out, state = step(jnp.asarray(frames[i * b:(i + 1) * b]),
+                          chunk_aux, state, first, eng._c)
+        outs_seq.append(np.asarray(out))
+    state_seq = np.asarray(state)
+
+    # one multi-step dispatch
+    stack = jnp.asarray(frames).reshape((n, b) + frames.shape[1:])
+    aux_stack = jax.tree.map(
+        lambda a: jnp.reshape(a, (n, b) + a.shape[1:]), aux)
+    outs_m, state_m = eng.jitted_multi_step()(
+        stack, aux_stack, eng.init_state(),
+        jnp.full((1,), True, jnp.bool_), eng._c)
+
+    np.testing.assert_array_equal(np.asarray(outs_m),
+                                  np.stack(outs_seq))
+    np.testing.assert_array_equal(np.asarray(state_m), state_seq)

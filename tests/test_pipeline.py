@@ -444,6 +444,23 @@ class TestCLI:
         assert a.shape == b.shape
         np.testing.assert_array_equal(a, b)
 
+    def test_steps_per_call_matches_single(self, tiny_clip, tmp_path):
+        """steps_per_call=2 (multi-step scan dispatches) must produce the
+        same video as per-batch dispatch; 12 frames at batch 4 cover one
+        full super-batch (2x4) AND a short tail sliced back to a plain
+        batch, with the persistence carry crossing both boundaries."""
+        path, _ = tiny_clip
+        p = EffectParams(persistence=0.6, noise_strength=0.0)
+        out1 = tmp_path / "s1.mp4"
+        out2 = tmp_path / "s2.mp4"
+        process_video(path, out1, p, batch_size=4, steps_per_call=1,
+                      report=False)
+        process_video(path, out2, p, batch_size=4, steps_per_call=2,
+                      report=False)
+        a, b = read_clip(out1), read_clip(out2)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
+
     def test_gui_flag_degrades_gracefully(self):
         res = subprocess.run(
             [sys.executable, "-m", "pythoncrt_tpu", "--gui"],

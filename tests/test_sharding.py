@@ -139,6 +139,26 @@ class TestClipSharding:
         with pytest.raises(ValueError):
             MultiClipEngine(eng, mesh)
 
+    def test_process_stack_matches_sequential(self):
+        """MultiClipEngine.process_stack (n clip-batches scanned in one
+        dispatch) must be bitwise identical to n successive process()
+        calls, per-clip carries included."""
+        mesh = make_mesh(8, axis="clips")
+        p = EffectParams(persistence=0.5, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        clips = np.stack([synth_frames(8, H, W, seed=60 + i) for i in range(8)])
+        mc = MultiClipEngine(eng, mesh)
+        o1, st = mc.process(clips[:, :4], np.tile(np.arange(4), (8, 1)))
+        o2, st2 = mc.process(clips[:, 4:], np.tile(np.arange(4, 8), (8, 1)),
+                             states=st)
+        stack = np.stack([clips[:, :4], clips[:, 4:]])
+        idx = np.stack([np.tile(np.arange(4), (8, 1)),
+                        np.tile(np.arange(4, 8), (8, 1))])
+        om, stm = mc.process_stack(stack, idx)
+        np.testing.assert_array_equal(np.asarray(om[0]), np.asarray(o1))
+        np.testing.assert_array_equal(np.asarray(om[1]), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(stm), np.asarray(st2))
+
 
 class TestShardedPipeline:
     def test_process_video_sharded_matches_single(self, tmp_path):
