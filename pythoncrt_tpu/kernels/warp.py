@@ -588,9 +588,18 @@ def warp_planar(
     # window rows (the DMA bytes AND the matmul M) to ~0.85x of the
     # round-2 16/32 pair. Every rung is even (the int-domain i32 roll
     # pairs sublanes) and a multiple of the 8-row DMA alignment quantum.
+    # PCRT_WARP_LADDER overrides the intermediate rungs for A/Bs
+    # (comma-separated; "" = single-class byp call) — fewer classes =
+    # fewer pallas_call launches but more padded MAC/DMA rows per tile.
+    # Measured 2026-08-18 (c3 1080p, scripts/ab_warp_ladder.py):
+    # "8,16,24" 889.9 fps, "16" 864.8, "" 752.8 — launches are cheap,
+    # padded rows are not; the full ladder stays.
+    ladder = tuple(
+        int(r) for r in os.environ.get("PCRT_WARP_LADDER", "8,16,24").split(",")
+        if r.strip())
     classes = []
     assigned = np.zeros((yt, xt), bool)
-    for byp_c in (8, 16, 24):
+    for byp_c in ladder:
         if byp_c >= t.byp:
             break
         sel = (need <= byp_c) & ~assigned
