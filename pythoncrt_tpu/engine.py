@@ -393,6 +393,12 @@ class CRTEngine:
             noise_scale=float(p.noise_strength) / 255.0,
             emit=emit,
         )
+        if kw["noise"] and self._grain_lerp:
+            # in-kernel grain row lerp: operand becomes the half-field
+            # stripe windows (see _grain_field / kernels/fused.py)
+            kw.update(grain_g=2,
+                      grain_off=tuple(o for o, _ in self.GRAIN2_ROWS),
+                      grain_frac=tuple(float(f) for _, f in self.GRAIN2_ROWS))
         if pre:
             kw.update(
                 px=int(p.pixel_size) if p.pixelate_on else 1,
@@ -452,8 +458,26 @@ class CRTEngine:
     # ------------------------------------------------------------------
 
     def _build_consts(self, text_rgba: Optional[np.ndarray]) -> None:
-        self._resolve_fused(text_rgba)
         p, h, w = self.params, self.h, self.w
+        # Grain half-row decomposition gate (shared by _resolve_fused
+        # and the grain-const build below, so every path — fused kernel,
+        # planar/NHWC XLA epilogues, preview — computes the SAME field):
+        # upsample columns only on the MXU (field @ R_w at gh rows, ~1/4
+        # of the old (R_h @ field) @ R_w MACs) and lerp rows in f32
+        # (in-kernel for the fused path — its operand shrinks to the
+        # half-field windows). Same envelope as the mx gate: grain_size
+        # 2 (bf16-exact 0.25/0.75 taps), field bf16 truncation ~2^-9
+        # under the noise_strength/255 scale; the f32 row lerp only
+        # TIGHTENS the old bound (one bf16-input dot instead of two).
+        # PCRT_GRAIN_LERP=0 restores the two-dot form for A/B.
+        g_sz = max(1, int(p.grain_size))
+        self._grain_lerp = (
+            p.noise_on and g_sz == 2 and h % 2 == 0 and h // 2 >= 2
+            and float(p.noise_strength) <= 32.0
+            and os.environ.get("PCRT_GRAIN_GATHER") != "1"
+            and os.environ.get("PCRT_GRAIN_ROLL") != "1"
+            and os.environ.get("PCRT_GRAIN_LERP") != "0")
+        self._resolve_fused(text_rgba)
         c: dict = {}
 
         if p.pixelate_on:
@@ -583,15 +607,22 @@ class CRTEngine:
                     # noise_strength/255 scale, far under the 1-LSB
                     # budget (tests cover the composed engine).
                     self._grain_mx = True
-                    ylo, yf = oops.bilinear_taps(gh, h)
-                    rh = np.zeros((h, gh), np.float32)
-                    np.add.at(rh, (np.arange(h), ylo), 1.0 - yf)
-                    np.add.at(rh, (np.arange(h), np.minimum(ylo + 1, gh - 1)), yf)
                     xlo, xf = oops.bilinear_taps(gw, w)
                     rw = np.zeros((gw, w), np.float32)
                     np.add.at(rw, (xlo, np.arange(w)), 1.0 - xf)
                     np.add.at(rw, (np.minimum(xlo + 1, gw - 1), np.arange(w)), xf)
-                    c["grain_rh"], c["grain_rw"] = jnp.asarray(rh), jnp.asarray(rw)
+                    c["grain_rw"] = jnp.asarray(rw)
+                    if self._grain_lerp:
+                        c["grain_rh2"] = jnp.asarray(self.grain_row_matrix(
+                            h, gh + 2, g, self.GRAIN2_ROWS)).astype(
+                                jnp.bfloat16)
+                    else:
+                        ylo, yf = oops.bilinear_taps(gh, h)
+                        rh = np.zeros((h, gh), np.float32)
+                        np.add.at(rh, (np.arange(h), ylo), 1.0 - yf)
+                        np.add.at(rh, (np.arange(h),
+                                       np.minimum(ylo + 1, gh - 1)), yf)
+                        c["grain_rh"] = jnp.asarray(rh)
 
         if p.warp_on:
             if self._pallas_warp:
@@ -803,13 +834,54 @@ class CRTEngine:
         s = 0.5 * (1.0 + jnp.sin(self._sl_omega * (c["sl_y"] + phase)))
         return 1.0 - np.float32(self.params.scanline_strength) * s
 
-    def _grain_field(self, c: dict, frame_idx, noise) -> jax.Array:
+    # (W-window index offset, row frac) per output-row residue k: for
+    # g=2, full[2q] = 0.25*W[q] + 0.75*W[q+1] and full[2q+1] =
+    # 0.75*W[q+1] + 0.25*W[q+2], where W = half padded with one
+    # edge-replicated row on top (the replicate pad reproduces oracle
+    # bilinear_taps' lo-clip/frac-clip edge rows: both reduce to the
+    # edge row's value). Shared verbatim by the XLA row dot below and
+    # the fused kernel's in-kernel dot (kernels/fused.py).
+    GRAIN2_ROWS = ((0, np.float32(0.75)), (1, np.float32(0.25)))
+
+    @staticmethod
+    def grain_row_matrix(rows: int, cols: int, g: int, taps) -> np.ndarray:
+        """(rows, cols) bf16 row-upsample matrix over a padded window:
+        row r = q*g+k carries (1-frac[k], frac[k]) at cols (q+off[k],
+        q+off[k]+1). bf16-exact weights + explicit bf16 operand casts
+        make the XLA dot and the Mosaic in-kernel dot produce BITWISE
+        identical f32: each product is exact in f32, the padding zeros
+        add exactly, and the single p1+p2 rounding is order-free — a VPU
+        slice/interleave lerp form measured ~500 us/f in Mosaic
+        (sublane-offset slices + stack interleave), the MXU dot is free."""
+        m = np.zeros((rows, cols), np.float32)
+        for k, (off, fr) in enumerate(taps):
+            rr = np.arange(k, rows, g)
+            qq = rr // g
+            m[rr, qq + off] = 1.0 - fr
+            m[rr, qq + off + 1] = fr
+        return m
+
+    def _grain_rows_full(self, c: dict, half: jax.Array) -> jax.Array:
+        """(gh, W) half-field -> (2*gh, W) row-upsampled field via the
+        bf16 row-matrix dot (exact bilinear for H == 2*gh, cf.
+        oracle/ops.py bilinear_taps; same bits as the fused kernel's
+        in-register dot)."""
+        halp = jnp.concatenate([half[:1], half, half[-1:]], 0)
+        return jax.lax.dot(c["grain_rh2"], halp.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+    def _grain_field(self, c: dict, frame_idx, noise,
+                     half: bool = False) -> jax.Array:
         """Stage-11 un-scaled grain field (H, W) for one frame: generate
         (native rng) or take the host field, then upsample. Shared by the
         vmapped XLA epilogue and the fused-kernel operand builder.
 
-        (Columns-first upsample measured NEUTRAL at 1080p — the
-        rows-first oracle order stays for bit-parity.)"""
+        half=True (grain-lerp mode only): return the column-upsampled
+        (gh, W) half-field; the fused kernel lerps the rows in-register
+        (its grain operand halves and the R_h dot disappears).
+
+        (Columns-first upsample measured NEUTRAL at 1080p pre-lerp —
+        with the row lerp it is the point: the MXU dot runs at gh rows.)"""
         p = self.params
         gh, gw = self._grain_hw
         if noise is None:
@@ -822,7 +894,11 @@ class CRTEngine:
                 field = oresize.resize2x_roll(field, *c["grain_wy"],
                                               *c["grain_wx"])
             elif self._grain_mx:
-                field = (c["grain_rh"] @ field) @ c["grain_rw"]
+                if self._grain_lerp:
+                    hf = field @ c["grain_rw"]
+                    field = hf if half else self._grain_rows_full(c, hf)
+                else:
+                    field = (c["grain_rh"] @ field) @ c["grain_rw"]
             else:
                 field = oresize.resize_bilinear(field, *c["grain_taps"])
         return field
@@ -878,14 +954,35 @@ class CRTEngine:
             x = jnp.transpose(pre, (0, 3, 1, 2))
         kw = {}
         if spec.noise:
+            hf = spec.grain_g > 1
             if aux.noise is None:
-                kw["grain"] = jax.vmap(
-                    lambda fi: self._grain_field(c, fi, None)
+                fields = jax.vmap(
+                    lambda fi: self._grain_field(c, fi, None, half=hf)
                 )(aux.frame_idx)
             else:
-                kw["grain"] = jax.vmap(
-                    lambda fi, nz: self._grain_field(c, fi, nz)
+                fields = jax.vmap(
+                    lambda fi, nz: self._grain_field(c, fi, nz, half=hf)
                 )(aux.frame_idx, aux.noise)
+            if hf:
+                # (B, gh, W) half-fields -> (B, nyt, wrows, W) stripe
+                # windows (one edge-replicated pad row on top, the
+                # overlap rows can't be expressed as a plain BlockSpec).
+                # wrows rounds ty/g+2 up to the 8-row sublane quantum —
+                # a 22-row block forces Mosaic relayouts on every
+                # program; the pad rows are replicated bottom rows the
+                # kernel never reads
+                tyg = spec.ty // spec.grain_g
+                nyt = self.h // spec.ty
+                wrows = -(-(tyg + 2) // 8) * 8
+                pad_bot = wrows - tyg - 1
+                halp = jnp.concatenate(
+                    [fields[:, :1], fields]
+                    + [fields[:, -1:]] * pad_bot, 1)
+                fields = jnp.stack(
+                    [jax.lax.slice_in_dim(halp, pp * tyg, pp * tyg + wrows,
+                                          axis=1)
+                     for pp in range(nyt)], 1)
+            kw["grain"] = fields
         if spec.scanlines:
             kw["sl"] = jax.vmap(
                 lambda ph: self._scanline_mul_1d(c, ph)

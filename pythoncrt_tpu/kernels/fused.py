@@ -100,6 +100,16 @@ class FusedSpec:
     flicker: bool = False
     noise: bool = False
     noise_scale: float = 0.0  # noise_strength / 255
+    # grain_g > 1: the grain operand is the (B, nyt, ty/g+2, W)
+    # half-field stripe windows (columns already MXU-upsampled, one
+    # edge-replicated pad row each side) and the kernel lerps the rows
+    # in-register: full[q*g+k] = (1-frac[k])*W[q+off[k]] +
+    # frac[k]*W[q+off[k]+1] (engine.CRTEngine.GRAIN2_ROWS — the exact
+    # bilinear row weights for H == g*gh). Halves the grain HBM read
+    # and removes the (H, gh) R_h dot from the step.
+    grain_g: int = 1
+    grain_off: tuple = ()
+    grain_frac: tuple = ()
     # "f32": [0,1] floats. "bf16_255"/"u8_255": rint(m*255) on the
     # integer grid for the int-domain warp kernel — identical values,
     # but u8 halves the kernel's output write AND the warp's window
@@ -187,6 +197,13 @@ def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
         raise ValueError("aberration exceeds frame width")
     if kw.get("emit", "f32") not in ("f32", "bf16_255", "u8_255"):
         raise ValueError(f"unknown emit mode {kw.get('emit')}")
+    gg = int(kw.get("grain_g", 1))
+    if gg > 1 and (not kw.get("noise") or ty % gg or h % gg
+                   or len(kw.get("grain_off", ())) != gg
+                   or len(kw.get("grain_frac", ())) != gg):
+        # stripe rows must split evenly into g row-residues for the
+        # in-kernel lerp's interleave; fall back to the full-row operand
+        kw["grain_g"], kw["grain_off"], kw["grain_frac"] = 1, (), ()
     return FusedSpec(h=h, w=w, ty=ty, r=r, taps=taps, strength=float(strength),
                      threshold=float(threshold), fast=fast, bloom=bloom, **kw)
 
@@ -211,6 +228,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     # unpack optional operand refs by spec flags (same order as the call)
     refs = list(refs)
     g_ref = refs.pop(0) if s.noise else None
+    grh_ref = refs.pop(0) if (s.noise and s.grain_g > 1) else None
     sl_ref = refs.pop(0) if s.scanlines else None
     vy_ref = refs.pop(0) if s.vignette else None
     vx_ref = refs.pop(0) if s.vignette else None
@@ -565,8 +583,23 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     if s.flicker and debug != "noepi":  # stage 10 ((B,1) in SMEM)
         m = jnp.clip(m * fl_ref[b, 0], 0.0, 1.0)
 
-    if s.noise and debug != "noepi":  # stage 11 (field upsampled outside)
-        m = jnp.clip(m + g_ref[...] * np.float32(s.noise_scale), 0.0, 1.0)
+    if s.noise and debug != "noepi":  # stage 11
+        if s.grain_g > 1:
+            # in-register row upsample of the half-field window
+            # (columns were MXU-upsampled outside) as ONE small static
+            # MXU dot — the same bf16 row matrix as the XLA path's
+            # CRTEngine._grain_rows_full (passed as the grh operand:
+            # pallas forbids captured constants), so the paths produce
+            # the same bits (exact f32 products, order-free single add;
+            # a VPU slice/interleave lerp form measured ~500 us/f in
+            # Mosaic)
+            wn = g_ref[0, 0]  # (wrows, w) f32
+            gfield = jax.lax.dot(
+                grh_ref[...], wn.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            m = jnp.clip(m + gfield * np.float32(s.noise_scale), 0.0, 1.0)
+        else:  # field fully upsampled outside
+            m = jnp.clip(m + g_ref[...] * np.float32(s.noise_scale), 0.0, 1.0)
 
     if s.emit == "bf16_255":
         out_ref[...] = jnp.rint(m * np.float32(255.0)).astype(jnp.bfloat16)[None]
@@ -602,8 +635,28 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [img]
     if spec.noise:
-        in_specs.append(pl.BlockSpec((1, ty, w), lambda p, bb: (bb, p, 0)))
-        args.append(grain)
+        if spec.grain_g > 1:  # (B, nyt, wrows, W) half-field windows
+            # ty/g+2 rows used, rounded up to the 8-row sublane quantum
+            # (matches the engine's operand builder)
+            wrows = -(-(ty // spec.grain_g + 2) // 8) * 8
+            in_specs.append(
+                pl.BlockSpec((1, 1, wrows, w), lambda p, bb: (bb, p, 0, 0)))
+            args.append(grain)
+            # the (ty, wrows) bf16 row-upsample matrix (every program
+            # reads block (0, 0) — it is the same for all stripes)
+            from ..engine import CRTEngine
+
+            rh = CRTEngine.grain_row_matrix(
+                ty, wrows, spec.grain_g,
+                tuple(zip(spec.grain_off,
+                          (np.float32(f) for f in spec.grain_frac))))
+            in_specs.append(
+                pl.BlockSpec((ty, wrows), lambda p, bb: (0, 0)))
+            args.append(jnp.asarray(rh).astype(jnp.bfloat16))
+        else:
+            in_specs.append(
+                pl.BlockSpec((1, ty, w), lambda p, bb: (bb, p, 0)))
+            args.append(grain)
     if spec.scanlines:
         in_specs.append(pl.BlockSpec((1, ty, 1), lambda p, bb: (bb, p, 0)))
         args.append(sl)
