@@ -395,10 +395,13 @@ class CRTEngine:
         )
         if kw["noise"] and self._grain_lerp:
             # in-kernel grain row lerp: operand becomes the half-field
-            # stripe windows (see _grain_field / kernels/fused.py)
+            # stripe windows (see _grain_field / kernels/fused.py);
+            # grain_raw additionally moves the COLUMN dot in-kernel
+            # (operand = raw-field windows, R_w resident in VMEM)
             kw.update(grain_g=2,
                       grain_off=tuple(o for o, _ in self.GRAIN2_ROWS),
-                      grain_frac=tuple(float(f) for _, f in self.GRAIN2_ROWS))
+                      grain_frac=tuple(float(f) for _, f in self.GRAIN2_ROWS),
+                      grain_raw=os.environ.get("PCRT_GRAIN_RAW") != "0")
         if pre:
             kw.update(
                 px=int(p.pixel_size) if p.pixelate_on else 1,
@@ -615,6 +618,17 @@ class CRTEngine:
                     if self._grain_lerp:
                         c["grain_rh2"] = jnp.asarray(self.grain_row_matrix(
                             h, gh + 2, g, self.GRAIN2_ROWS)).astype(
+                                jnp.bfloat16)
+                        # column matrix for the all-in-kernel form
+                        # (grain_raw): zero-padded to the 128-lane
+                        # quantum so the raw-field operand blocks tile
+                        # cleanly; the pad rows multiply zero columns
+                        # (exact zeros)
+                        c["grain_rw_bf"] = jnp.asarray(rw).astype(
+                            jnp.bfloat16)
+                        gwp = -(-gw // 128) * 128
+                        c["grain_rw_kp"] = jnp.asarray(np.pad(
+                            rw, ((0, gwp - gw), (0, 0)))).astype(
                                 jnp.bfloat16)
                     else:
                         ylo, yf = oops.bilinear_taps(gh, h)
@@ -871,7 +885,7 @@ class CRTEngine:
                            preferred_element_type=jnp.float32)
 
     def _grain_field(self, c: dict, frame_idx, noise,
-                     half: bool = False) -> jax.Array:
+                     half: bool = False, raw: bool = False) -> jax.Array:
         """Stage-11 un-scaled grain field (H, W) for one frame: generate
         (native rng) or take the host field, then upsample. Shared by the
         vmapped XLA epilogue and the fused-kernel operand builder.
@@ -895,7 +909,14 @@ class CRTEngine:
                                               *c["grain_wx"])
             elif self._grain_mx:
                 if self._grain_lerp:
-                    hf = field @ c["grain_rw"]
+                    if raw:
+                        return field  # pre-upsample (gh, gw)
+                    # explicit bf16 operands: the same bits as the
+                    # in-kernel column dot (grain_raw mode) — 2-nonzero
+                    # contractions are order-free in f32 accumulation
+                    hf = jax.lax.dot(
+                        field.astype(jnp.bfloat16), c["grain_rw_bf"],
+                        preferred_element_type=jnp.float32)
                     field = hf if half else self._grain_rows_full(c, hf)
                 else:
                     field = (c["grain_rh"] @ field) @ c["grain_rw"]
@@ -955,14 +976,24 @@ class CRTEngine:
         kw = {}
         if spec.noise:
             hf = spec.grain_g > 1
+            raw = hf and spec.grain_raw
             if aux.noise is None:
                 fields = jax.vmap(
-                    lambda fi: self._grain_field(c, fi, None, half=hf)
+                    lambda fi: self._grain_field(c, fi, None, half=hf,
+                                                 raw=raw)
                 )(aux.frame_idx)
             else:
                 fields = jax.vmap(
-                    lambda fi, nz: self._grain_field(c, fi, nz, half=hf)
+                    lambda fi, nz: self._grain_field(c, fi, nz, half=hf,
+                                                     raw=raw)
                 )(aux.frame_idx, aux.noise)
+            if raw:
+                # pad the raw-field columns to the operand's 128-lane
+                # quantum (the R_w pad rows are zeros — exact products)
+                gwp = c["grain_rw_kp"].shape[0]
+                fields = jnp.pad(
+                    fields, ((0, 0), (0, 0), (0, gwp - fields.shape[2])))
+                kw["grain_rw"] = c["grain_rw_kp"]
             if hf:
                 # (B, gh, W) half-fields -> (B, nyt, wrows, W) stripe
                 # windows (one edge-replicated pad row on top, the

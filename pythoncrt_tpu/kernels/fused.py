@@ -110,6 +110,13 @@ class FusedSpec:
     grain_g: int = 1
     grain_off: tuple = ()
     grain_frac: tuple = ()
+    # grain_raw: the operand is the RAW (B, nyt, wrows, gwp) field
+    # windows and the COLUMN upsample also runs in-kernel (one bf16 dot
+    # against the R_w operand, which has a constant index map so Mosaic
+    # fetches it once and keeps it VMEM-resident across programs, as
+    # the warp kernel's masks are) — removes the XLA column dot AND the
+    # window-producer pass from the step
+    grain_raw: bool = False
     # "f32": [0,1] floats. "bf16_255"/"u8_255": rint(m*255) on the
     # integer grid for the int-domain warp kernel — identical values,
     # but u8 halves the kernel's output write AND the warp's window
@@ -204,6 +211,8 @@ def build_fused_spec(h: int, w: int, *, sigma: float = 0.0,
         # stripe rows must split evenly into g row-residues for the
         # in-kernel lerp's interleave; fall back to the full-row operand
         kw["grain_g"], kw["grain_off"], kw["grain_frac"] = 1, (), ()
+    if kw.get("grain_g", 1) == 1:
+        kw["grain_raw"] = False
     return FusedSpec(h=h, w=w, ty=ty, r=r, taps=taps, strength=float(strength),
                      threshold=float(threshold), fast=fast, bloom=bloom, **kw)
 
@@ -228,6 +237,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     # unpack optional operand refs by spec flags (same order as the call)
     refs = list(refs)
     g_ref = refs.pop(0) if s.noise else None
+    grw_ref = refs.pop(0) if (s.noise and s.grain_raw) else None
     grh_ref = refs.pop(0) if (s.noise and s.grain_g > 1) else None
     sl_ref = refs.pop(0) if s.scanlines else None
     vy_ref = refs.pop(0) if s.vignette else None
@@ -593,7 +603,14 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
             # the same bits (exact f32 products, order-free single add;
             # a VPU slice/interleave lerp form measured ~500 us/f in
             # Mosaic)
-            wn = g_ref[0, 0]  # (wrows, w) f32
+            wn = g_ref[0, 0]  # (wrows, w | gwp) f32
+            if s.grain_raw:
+                # column upsample in-kernel too: raw window @ R_w (the
+                # VMEM-resident operand) — same explicit-bf16 dot as
+                # the XLA path's half dot, so the bits agree
+                wn = jax.lax.dot(
+                    wn.astype(jnp.bfloat16), grw_ref[...],
+                    preferred_element_type=jnp.float32)
             gfield = jax.lax.dot(
                 grh_ref[...], wn.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
@@ -613,8 +630,8 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
         out_ref[...] = m[None]
 
 
-def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
-                   vx2=None, tri=None, flicker=None,
+def fused_pipeline(img, spec: FusedSpec, *, grain=None, grain_rw=None,
+                   sl=None, vy2=None, vx2=None, tri=None, flicker=None,
                    interpret: bool = False):
     """Run the fused stripe pipeline.
 
@@ -635,13 +652,23 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [img]
     if spec.noise:
-        if spec.grain_g > 1:  # (B, nyt, wrows, W) half-field windows
+        if spec.grain_g > 1:  # (B, nyt, wrows, gw') field-window stacks
             # ty/g+2 rows used, rounded up to the 8-row sublane quantum
-            # (matches the engine's operand builder)
+            # (matches the engine's operand builder); columns are the
+            # full W (half-field windows) or the padded raw-field width
+            # (grain_raw)
             wrows = -(-(ty // spec.grain_g + 2) // 8) * 8
+            gcols = grain_rw.shape[0] if spec.grain_raw else w
             in_specs.append(
-                pl.BlockSpec((1, 1, wrows, w), lambda p, bb: (bb, p, 0, 0)))
+                pl.BlockSpec((1, 1, wrows, gcols),
+                             lambda p, bb: (bb, p, 0, 0)))
             args.append(grain)
+            if spec.grain_raw:
+                # R_w stays VMEM-resident: the constant index map lets
+                # Mosaic fetch block (0, 0) once for the whole grid
+                in_specs.append(
+                    pl.BlockSpec((gcols, w), lambda p, bb: (0, 0)))
+                args.append(grain_rw)
             # the (ty, wrows) bf16 row-upsample matrix (every program
             # reads block (0, 0) — it is the same for all stripes)
             from ..engine import CRTEngine
@@ -679,6 +706,9 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, sl=None, vy2=None,
     # raising the per-kernel limit. Charge the same liveness model as
     # pick_ty_fused plus slack for Mosaic temporaries.
     need = _LIVE_F * 3 * (ty + 16) * w * 4
+    if spec.grain_raw:
+        # the VMEM-resident R_w operand + the in-kernel half window
+        need += grain_rw.shape[0] * w * 2 * 2
     params = {}
     if need > (12 << 20):
         params["compiler_params"] = pltpu.CompilerParams(
