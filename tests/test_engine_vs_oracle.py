@@ -297,3 +297,24 @@ def test_multi_step_matches_sequential_steps(frames_small):
     np.testing.assert_array_equal(np.asarray(outs_m),
                                   np.stack(outs_seq))
     np.testing.assert_array_equal(np.asarray(state_m), state_seq)
+
+
+@pytest.mark.parametrize("mode", ["raw", "half", "off"])
+def test_grain_upsample_forms_match_oracle(frames_small, monkeypatch, mode):
+    """The three grain-upsample forms — all-in-kernel raw-field dots
+    (default), half-window form (PCRT_GRAIN_RAW=0), and the legacy
+    two-dot XLA form (PCRT_GRAIN_LERP=0) — must each stay <= 1 LSB vs
+    the oracle through a grain-heavy stack (engine.py grain-lerp gate)."""
+    if mode == "half":
+        monkeypatch.setenv("PCRT_GRAIN_RAW", "0")
+    elif mode == "off":
+        monkeypatch.setenv("PCRT_GRAIN_LERP", "0")
+    p = identity_params(noise_strength=12.0, grain_size=2,
+                        scanline_strength=0.3, bloom_strength=0.3,
+                        bloom_sigma=1.2)
+    eng = CRTEngine(p, H, W, FPS, rng="host")
+    if mode == "off":
+        assert not eng._grain_lerp
+    else:
+        assert eng._grain_lerp
+    assert_lsb(eng, frames_small[:4])

@@ -225,3 +225,26 @@ def test_fused_off_on_cpu_backend():
     p = identity_params(**FULL)
     eng = CRTEngine(p, H, W, FPS, pallas="auto")
     assert not eng._pallas_fused
+
+
+@pytest.mark.parametrize("mode", ["raw", "half"])
+def test_grain_inkernel_forms(monkeypatch, mode):
+    """Both in-kernel grain forms through the FUSED kernel (interpret):
+    the default raw-field double dot and the half-window row dot
+    (PCRT_GRAIN_RAW=0) must match the per-stage XLA path within the
+    usual sparse-1-LSB envelope and the oracle within 1 LSB."""
+    if mode == "half":
+        monkeypatch.setenv("PCRT_GRAIN_RAW", "0")
+    p = identity_params(**{**FULL, "noise_strength": 10.0, "grain_size": 2})
+    frames = synth_frames(B, H, W, seed=7)
+    eng = build(p, rng="host")
+    assert eng._pallas_fused and eng._fused_spec.grain_g == 2
+    assert eng._fused_spec.grain_raw == (mode == "raw")
+    got, _ = eng.process(frames)
+    os.environ["PCRT_NO_FUSED"] = "1"
+    try:
+        ref, _ = build(p, rng="host").process(frames)
+    finally:
+        del os.environ["PCRT_NO_FUSED"]
+    dps = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+    assert dps.max() <= 1 and (dps > 0).mean() < 1e-3
