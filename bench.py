@@ -71,8 +71,10 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     # PCRT_BENCH_LAYOUT=nhwc A/Bs the legacy interleaved layout; the
     # default mirrors the pipeline: layout=auto stages planar frames
     # exactly where production feeds them (ffmpeg -pix_fmt gbrp decodes
-    # straight into the kernel layout) and NHWC elsewhere (e.g. the
-    # glitch configs, whose pipes stay rgb24).
+    # straight into the kernel layout) and NHWC where the planar step
+    # can't run (XLA-glitch fallbacks, text-after overlays, non-Pallas
+    # warp configs — engine.planar_ok; the c4 glitch config resolves
+    # PLANAR here because its Pallas glitch kernel is active).
     layout = os.environ.get("PCRT_BENCH_LAYOUT", "auto")
     eng = CRTEngine(params, h, w, fps=30.0, assoc_scan=assoc_scan,
                     layout=layout)
@@ -97,12 +99,12 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     # (engine.jitted_multi_step) — amortizes the per-call dispatch
     # overhead this rig's relay charges (~0.1 ms/frame at n=1), exactly
     # as pipeline.py's steps_per_call batching does in production
-    # (auto=4 there; the default here matches). Measured c3 2026-08-18:
-    # spc=1 878.3, spc=2 890.3, spc=4 906.6, spc=8 912.5 fps — ~40% of
-    # the busy-vs-wall gap is per-dispatch and amortizes; the rest is
-    # per-op. 4 is the production default (8 doubles host RAM held in
-    # flight for +6 fps).
-    spc = int(os.environ.get("PCRT_BENCH_SPC", "4"))
+    # (auto=8 at <=1080p there since r4; the default here matches).
+    # Measured c3: spc ladder 878.3/890.3/906.6/912.5 at n=1/2/4/8
+    # (2026-08-18); at the r4 state spc=8 measured +9.5 fps over 4, and
+    # production auto now picks 8 at <=1080p (~1.6 GB host RAM held in
+    # flight at B=32 — the pipeline keeps 4 above 1080p).
+    spc = int(os.environ.get("PCRT_BENCH_SPC", "8"))
     salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3), dtype=np.uint8)
     staged = make_frames(spc * batch, h, w) ^ salt
     if layout == "planar":

@@ -630,6 +630,17 @@ class CRTEngine:
                         c["grain_rw_kp"] = jnp.asarray(np.pad(
                             rw, ((0, gwp - gw), (0, 0)))).astype(
                                 jnp.bfloat16)
+                        if (self._pallas_fused
+                                and self._fused_spec.grain_g > 1):
+                            # the fused kernel's per-stripe (ty, wrows)
+                            # row-upsample matrix, as a jit ARGUMENT
+                            # (constants-as-arguments rule; advisor r3)
+                            sp = self._fused_spec
+                            wrows = -(-(sp.ty // sp.grain_g + 2) // 8) * 8
+                            c["grain_rh_k"] = jnp.asarray(
+                                self.grain_row_matrix(
+                                    sp.ty, wrows, sp.grain_g,
+                                    self.GRAIN2_ROWS)).astype(jnp.bfloat16)
                     else:
                         ylo, yf = oops.bilinear_taps(gh, h)
                         rh = np.zeros((h, gh), np.float32)
@@ -728,11 +739,17 @@ class CRTEngine:
         8-byte constant).
 
         PCRT_RNG_IMPL selects the PRNG implementation for the NATIVE
-        rng mode (default threefry2x32). "rbg" uses XLA's hardware
-        RngBitGenerator — draws differ from threefry (still
-        deterministic per seed+frame on a given backend), which is
-        legal for rng="native" (its contract is distributional; the
-        reference's numpy streams are only reproduced by rng="host")."""
+        rng mode (default threefry2x32). "rbg" (XLA's hardware
+        RngBitGenerator) measured +6 fps at 1080p but is a CLOSED
+        round-4 decision, kept opt-in only: under vmap its draws are a
+        function of the whole batched call shape, not of each frame's
+        folded key — measured round 4 (test_native_rng_resume_invariant
+        run with rbg: 32% of pixels differ when the same frames are
+        re-rendered in a different batch split). That breaks the
+        batch-, shard- and segment-resume-invariance rng="native"
+        promises (draws must be a pure function of (seed, frame_idx)).
+        threefry is counter-based per element, so the invariance holds
+        for any batch/shard split; the test pins it."""
         impl = os.environ.get("PCRT_RNG_IMPL")
         return jax.random.key(self.seed, impl=impl) if impl \
             else jax.random.key(self.seed)
@@ -1014,6 +1031,13 @@ class CRTEngine:
                                           axis=1)
                      for pp in range(nyt)], 1)
             kw["grain"] = fields
+            if spec.grain_g > 1:
+                # the (ty, wrows) row-upsample matrix rides as a jit
+                # argument (constants-as-arguments rule, advisor r3).
+                # Sliced per-stripe form == the full-H matrix's stripe
+                # blocks by construction (grain_row_matrix is
+                # stripe-periodic: taps depend on row % ty only).
+                kw["grain_rh"] = c["grain_rh_k"]
         if spec.scanlines:
             kw["sl"] = jax.vmap(
                 lambda ph: self._scanline_mul_1d(c, ph)
@@ -1402,6 +1426,70 @@ class CRTEngine:
             glitch_seg=None if g_seg is None else jnp.asarray(g_seg),
         )
 
+    def make_aux_at(self, times_sec, noise_fields=None) -> FrameAux:
+        """Aux rows for arbitrary TIME positions. The GUI preview runs
+        on wall-clock time rather than frame indices (reference on_tick,
+        crt_filter.py:1810-1852), so phase/flicker derive from the given
+        f64 times with the same formulas as make_aux, and host-rng noise
+        takes INJECTED per-frame fields (the preview's time-seeded
+        grain, gui_qt.render_preview_frame) instead of index-keyed
+        draws. frame_idx is the nearest frame number (only native-rng
+        keys read it)."""
+        p = self.params
+        t = np.asarray(times_sec, dtype=np.float64)
+        phase64 = t * p.scanline_speed_px_s
+        phase = phase64.astype(np.float32)
+        if p.flicker_on:
+            flicker = (1.0 + 0.25 * p.flicker_strength
+                       * np.sin(2.0 * np.pi * p.flicker_hz * t)
+                       ).astype(np.float32)
+        else:
+            flicker = np.ones(t.shape[0], np.float32)
+        noise = g_base = g_seg = None
+        if self.rng == "host":
+            if p.noise_on:
+                if noise_fields is None:
+                    raise ValueError(
+                        "host-rng preview aux needs injected noise_fields")
+                noise = np.asarray(noise_fields, np.float32)
+            if p.glitch_on and self._glitch_rows > 0:
+                if self.engine == "preview":
+                    g_base = np.stack([
+                        oracle.glitch_offsets_preview(
+                            self.h, self.w, float(ph), p.glitch_amp_px,
+                            p.glitch_height_frac)
+                        for ph in phase64])
+                else:
+                    bases, segs = [], []
+                    for ph in phase64:
+                        base, seg, _ = oracle.glitch_fields_export(
+                            self.h, self.w, float(ph), p.glitch_amp_px,
+                            p.glitch_height_frac)
+                        bases.append(base)
+                        segs.append(seg)
+                    g_base, g_seg = np.stack(bases), np.stack(segs)
+        return FrameAux(
+            frame_idx=jnp.asarray(np.rint(t * self.fps).astype(np.int32)),
+            phase=jnp.asarray(phase),
+            flicker=jnp.asarray(flicker),
+            noise=None if noise is None else jnp.asarray(noise),
+            glitch_base=None if g_base is None else jnp.asarray(g_base),
+            glitch_seg=None if g_seg is None else jnp.asarray(g_seg),
+        )
+
+    def process_at(self, frames_u8, times_sec, noise_fields=None,
+                   state=None):
+        """process() addressed by TIME instead of frame index (the GUI
+        preview's access pattern — see make_aux_at). Same compiled step."""
+        frames_u8 = jnp.asarray(frames_u8)
+        aux = self.make_aux_at(times_sec, noise_fields)
+        first = state is None
+        if first:
+            state = self.init_state()
+        return self._jstep(
+            frames_u8, aux, state, jnp.full((1,), first, jnp.bool_), self._c
+        )
+
     def init_state(self) -> jax.Array:
         if self.layout == "planar":
             return jnp.zeros((3, self.h, self.w), jnp.float32)
@@ -1430,6 +1518,19 @@ class CRTEngine:
         first = state is None
         if first:
             state = self.init_state()
+        elif jnp.asarray(state).shape != self.init_state().shape:
+            # Stated deviation (PARITY.md): the reference bilinearly
+            # resizes a shape-mismatched persistence carry mid-stream
+            # (crt_filter.py:689-693 — a GUI-preview situation where the
+            # preview size changes under a running stream). The export
+            # engine compiles for ONE static shape, so it refuses
+            # instead; the GUI preview path renders through the oracle,
+            # which implements the resize-blend (oracle.persistence_blend).
+            raise ValueError(
+                f"persistence state shape {jnp.asarray(state).shape} != "
+                f"{self.init_state().shape}: CRTEngine does not resize a "
+                "mid-stream carry (documented deviation, PARITY.md; the "
+                "oracle/GUI preview path does)")
         return self._jstep(
             frames_u8, aux, state, jnp.full((1,), first, jnp.bool_), self._c
         )

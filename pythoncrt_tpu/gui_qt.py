@@ -88,15 +88,73 @@ def _preview_size(w: int, h: int) -> tuple[int, int]:
     return max(1, int(w * scale)), max(1, int(h * scale))
 
 
+# Engine-backed preview (round 4): one compiled CRTEngine per
+# (params, preview-size) renders live-preview frames on the
+# accelerator instead of the ~1 fps CPU oracle. LRU of a few compiled
+# presets — a preset tweak recompiles (~seconds at <=960x540, the
+# reference's own preview ceiling), then ticks are device-rate.
+_PREVIEW_ENGINES: "dict[tuple, object]" = {}
+_PREVIEW_ENGINES_MAX = 4
+
+
+def _preview_engine_mode() -> bool:
+    """Default: engine preview when an accelerator backend is present;
+    PCRT_PREVIEW_ENGINE=1/0 forces it on/off (0 keeps the bit-right
+    oracle path; also the automatic fallback when jax import or the
+    engine build fails)."""
+    import os
+
+    v = os.environ.get("PCRT_PREVIEW_ENGINE")
+    if v is not None:
+        return v == "1"
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def _get_preview_engine(p: EffectParams, pw: int, ph: int):
+    import dataclasses
+
+    key = (repr(dataclasses.asdict(p)), pw, ph)
+    eng = _PREVIEW_ENGINES.get(key)
+    if eng is None:
+        from .engine import CRTEngine
+
+        # persistence stays on the HOST side (oracle.persistence_blend):
+        # the preview blends/carries across arbitrary wall-clock ticks
+        # and size changes (crt_filter.py:689-693), which the static-
+        # shape compiled step deliberately refuses (PARITY.md)
+        pe = dataclasses.replace(p, persistence=0.0)
+        eng = CRTEngine(pe, ph, pw, fps=30.0, engine="preview", rng="host",
+                        text_rgba=overlay_for(pw, ph, p.text))
+        if len(_PREVIEW_ENGINES) >= _PREVIEW_ENGINES_MAX:
+            _PREVIEW_ENGINES.pop(next(iter(_PREVIEW_ENGINES)))
+        _PREVIEW_ENGINES[key] = eng
+    return eng
+
+
 def render_preview_frame(
     frame: np.ndarray, p: EffectParams, t: float,
     prev_img: np.ndarray | None = None, stateful: bool = False,
+    use_engine: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Preview-path frame computation, Qt-free so it is testable on
     headless hosts (reference on_tick :1810-1852 / paused preview
-    :1958-2017): fit-downscale, oracle effect chain with time-seeded
-    grain, optional stateful persistence. Returns (uint8 out, new
-    persistence state or None)."""
+    :1958-2017): fit-downscale, effect chain with time-seeded grain,
+    optional stateful persistence. Returns (uint8 out, new persistence
+    state or None).
+
+    use_engine (None = auto, _preview_engine_mode): render the effect
+    chain through a compiled preview-sized CRTEngine (same preview
+    glitch semantics and injected noise stream; <=1 LSB vs the oracle
+    per the engine parity contract) instead of the per-frame CPU
+    oracle. Persistence still blends host-side pre-display; the
+    engine path quantizes to uint8 before that blend (a <=1-LSB-class
+    preview-only deviation — the export path is untouched). Any
+    engine-path failure falls back to the oracle for that frame."""
     h, w = frame.shape[:2]
     pw, ph = _preview_size(w, h)
     if (pw, ph) != (w, h):
@@ -112,11 +170,24 @@ def render_preview_frame(
         if p.noise_on
         else None
     )
-    text_rgba = overlay_for(pw, ph, p.text)
-    img = oracle.apply_effects(
-        frame, p, phase_px=phase, time_sec=t,
-        noise_field=noise, text_rgba=text_rgba, engine="preview",
-    )
+    if use_engine is None:
+        use_engine = _preview_engine_mode()
+    img = None
+    if use_engine:
+        try:
+            eng = _get_preview_engine(p, pw, ph)
+            out, _ = eng.process_at(
+                frame[None], np.asarray([t], np.float64),
+                None if noise is None else noise[None])
+            img = np.asarray(out[0]).astype(np.float32) / 255.0
+        except Exception:
+            img = None  # oracle fallback below
+    if img is None:
+        text_rgba = overlay_for(pw, ph, p.text)
+        img = oracle.apply_effects(
+            frame, p, phase_px=phase, time_sec=t,
+            noise_field=noise, text_rgba=text_rgba, engine="preview",
+        )
     new_prev = None
     if stateful:
         if p.persistence_on:
@@ -129,6 +200,66 @@ def render_preview_frame(
         # latest frame instead of wiping or freezing the carry
         new_prev = img
     return oracle.ops.to_uint8(img), new_prev
+
+
+# ---------------------------------------------------------------------------
+# Declarative effect-control wiring (Qt-free, so the widget<->EffectParams
+# map is testable on headless hosts — tests/test_gui_logic.py asserts it
+# covers the parameter surface and that ranges contain the CLI clamps).
+# Rows: (widget attr, EffectParams field, tab, label, kind, lo, hi, step,
+# default) — kind "f" = DoubleSpinBox, "i" = SpinBox, "b" = CheckBox;
+# default None reads EffectParams()'s value; the one explicit default is
+# the documented GUI deviation (scanline speed 60 vs CLI 30,
+# crt_filter.py:1493 vs :1177).
+EFFECT_CONTROLS = (
+    ("scanline_val", "scanline_strength", "Effects", "Scanlines", "f", 0, 1, 0.01, None),
+    ("triad_val", "triad_strength", "Effects", "Triad", "f", 0, 1, 0.01, None),
+    ("triad_gamma", "triad_gamma", "Effects", "Triad gamma", "f", 0.1, 5, 0.01, None),
+    ("triad_softness", "triad_softness", "Effects", "Triad softness", "f", 0, 5, 0.01, None),
+    ("triad_preserve_luma", "triad_preserve_luma", "Effects", "Preserve luma", "b", None, None, None, None),
+    ("pixel_size", "pixel_size", "Effects", "Pixel size", "i", 1, 16, None, None),
+    ("aberration", "aberration_px", "Effects", "Aberration px", "i", -8, 8, None, None),
+    ("noise_val", "noise_strength", "Effects", "Noise", "f", 0, 50, 0.5, None),
+    ("bloom_sigma", "bloom_sigma", "Effects", "Bloom sigma", "f", 0, 10, 0.01, None),
+    ("bloom_strength", "bloom_strength", "Effects", "Bloom strength", "f", 0, 2, 0.01, None),
+    ("bloom_threshold", "bloom_threshold", "Effects", "Bloom threshold", "f", 0, 1, 0.01, None),
+    ("vignette_val", "vignette_strength", "Effects", "Vignette", "f", 0, 1, 0.01, None),
+    ("fast_bloom_cb", "fast_bloom", "Effects", "Fast bloom", "b", None, None, None, None),
+    ("persistence_val", "persistence", "Motion", "Persistence", "f", 0, 0.95, 0.01, None),
+    ("scanline_speed", "scanline_speed_px_s", "Motion", "Scanline speed", "f", -1000, 1000, 1.0, 60.0),
+    ("scanline_period", "scanline_period_px", "Motion", "Scanline period", "f", 1, 100, 0.5, None),
+    ("glitch_amp", "glitch_amp_px", "Motion", "Glitch amp", "i", 0, 64, None, None),
+    ("glitch_height", "glitch_height_frac", "Motion", "Glitch height", "f", 0, 1, 0.01, None),
+    ("flicker_strength", "flicker_strength", "Motion", "Flicker", "f", 0, 1, 0.01, None),
+    ("flicker_hz", "flicker_hz", "Motion", "Flicker Hz", "f", 0, 60, 0.5, None),
+    ("brightness", "brightness", "Advanced", "Brightness", "f", -1, 1, 0.01, None),
+    ("contrast", "contrast", "Advanced", "Contrast", "f", 0, 3, 0.01, None),
+    ("gamma", "gamma", "Advanced", "Gamma", "f", 0.1, 3, 0.01, None),
+    ("saturation", "saturation", "Advanced", "Saturation", "f", 0, 3, 0.01, None),
+    ("temperature", "temperature", "Advanced", "Temperature", "f", -1, 1, 0.01, None),
+    ("grain_size", "grain_size", "Advanced", "Grain size", "i", 1, 8, None, None),
+    ("scanline_angle", "scanline_angle", "Advanced", "Scanline angle", "f", -45, 45, 0.5, None),
+    ("scanline_thickness", "scanline_thickness", "Advanced", "Scanline thickness", "f", 0.1, 4, 0.01, None),
+    ("warp_strength", "warp_strength", "Advanced", "Warp", "f", -1, 1, 0.01, None),
+)
+
+EFFECT_TABS = ("Effects", "Motion", "Advanced")
+
+
+def run_render_job(kwargs: dict, emit_progress, emit_done) -> None:
+    """Qt-free core of RenderWorker.run (testable headless): drive
+    process_video with a progress callback; report (ok, message) once.
+    Exceptions become a failed done-signal, never a raise — the worker
+    thread has no other channel to the status bar."""
+    try:
+        from .pipeline import process_video
+
+        used_gpu = process_video(
+            progress_cb=lambda v: emit_progress(float(v)), **kwargs,
+        )
+        emit_done(True, "Hardware encoder" if used_gpu else "CPU encoder")
+    except Exception as e:  # surfaced in the status bar
+        emit_done(False, str(e))
 
 
 _QT_CLASSES = None
@@ -193,16 +324,9 @@ def qt_classes():
 
         @QtCore.Slot()
         def run(self):
-            try:
-                from .pipeline import process_video
-
-                used_gpu = process_video(
-                    progress_cb=lambda v: self.progress.emit(float(v)),
-                    **self.kwargs,
-                )
-                self.done.emit(True, "Hardware encoder" if used_gpu else "CPU encoder")
-            except Exception as e:  # surfaced in the status bar
-                self.done.emit(False, str(e))
+            # Qt-free core (run_render_job) so the success/failure signal
+            # plumbing is testable without PySide6
+            run_render_job(self.kwargs, self.progress.emit, self.done.emit)
 
     class CRTWindow(QtWidgets.QMainWindow):
         def __init__(self):
@@ -259,72 +383,25 @@ def qt_classes():
             tabs = QtWidgets.QTabWidget()
             tabs.setFixedWidth(420)  # crt_filter.py sidebar width
 
-            fx = QtWidgets.QFormLayout()
-            self.scanline_val = self._slider(0, 1, d.scanline_strength)
-            self.triad_val = self._slider(0, 1, d.triad_strength)
-            self.triad_gamma = self._slider(0.1, 5, d.triad_gamma)
-            self.triad_softness = self._slider(0, 5, d.triad_softness)
-            self.triad_preserve_luma = self._check(d.triad_preserve_luma)
-            self.pixel_size = self._ispin(1, 16, d.pixel_size)
-            self.aberration = self._ispin(-8, 8, d.aberration_px)
-            self.noise_val = self._slider(0, 50, d.noise_strength, 0.5)
-            self.bloom_sigma = self._slider(0, 10, d.bloom_sigma)
-            self.bloom_strength = self._slider(0, 2, d.bloom_strength)
-            self.bloom_threshold = self._slider(0, 1, d.bloom_threshold)
-            self.vignette_val = self._slider(0, 1, d.vignette_strength)
-            self.fast_bloom_cb = self._check(d.fast_bloom)
-            for label, wdg in (
-                ("Scanlines", self.scanline_val), ("Triad", self.triad_val),
-                ("Triad gamma", self.triad_gamma), ("Triad softness", self.triad_softness),
-                ("Preserve luma", self.triad_preserve_luma), ("Pixel size", self.pixel_size),
-                ("Aberration px", self.aberration), ("Noise", self.noise_val),
-                ("Bloom sigma", self.bloom_sigma), ("Bloom strength", self.bloom_strength),
-                ("Bloom threshold", self.bloom_threshold), ("Vignette", self.vignette_val),
-                ("Fast bloom", self.fast_bloom_cb),
-            ):
-                fx.addRow(label, wdg)
-            fx_w = QtWidgets.QWidget(); fx_w.setLayout(fx)
-            tabs.addTab(fx_w, "Effects")
-
-            mo = QtWidgets.QFormLayout()
-            self.persistence_val = self._slider(0, 0.95, d.persistence)
-            self.scanline_speed = self._slider(-1000, 1000, 60.0, 1.0)  # GUI default 60 (crt_filter.py:1493)
-            self.scanline_period = self._slider(1, 100, d.scanline_period_px, 0.5)
-            self.glitch_amp = self._ispin(0, 64, d.glitch_amp_px)
-            self.glitch_height = self._slider(0, 1, d.glitch_height_frac)
-            self.flicker_strength = self._slider(0, 1, d.flicker_strength)
-            self.flicker_hz = self._slider(0, 60, d.flicker_hz, 0.5)
-            for label, wdg in (
-                ("Persistence", self.persistence_val), ("Scanline speed", self.scanline_speed),
-                ("Scanline period", self.scanline_period), ("Glitch amp", self.glitch_amp),
-                ("Glitch height", self.glitch_height), ("Flicker", self.flicker_strength),
-                ("Flicker Hz", self.flicker_hz),
-            ):
-                mo.addRow(label, wdg)
-            mo_w = QtWidgets.QWidget(); mo_w.setLayout(mo)
-            tabs.addTab(mo_w, "Motion")
-
-            adv = QtWidgets.QFormLayout()
-            self.brightness = self._slider(-1, 1, d.brightness)
-            self.contrast = self._slider(0, 3, d.contrast)
-            self.gamma = self._slider(0.1, 3, d.gamma)
-            self.saturation = self._slider(0, 3, d.saturation)
-            self.temperature = self._slider(-1, 1, d.temperature)
-            self.grain_size = self._ispin(1, 8, d.grain_size)
-            self.scanline_angle = self._slider(-45, 45, d.scanline_angle, 0.5)
-            self.scanline_thickness = self._slider(0.1, 4, d.scanline_thickness)
-            self.warp_strength = self._slider(-1, 1, d.warp_strength)
-            for label, wdg in (
-                ("Brightness", self.brightness), ("Contrast", self.contrast),
-                ("Gamma", self.gamma), ("Saturation", self.saturation),
-                ("Temperature", self.temperature), ("Grain size", self.grain_size),
-                ("Scanline angle", self.scanline_angle),
-                ("Scanline thickness", self.scanline_thickness),
-                ("Warp", self.warp_strength),
-            ):
-                adv.addRow(label, wdg)
-            adv_w = QtWidgets.QWidget(); adv_w.setLayout(adv)
-            tabs.addTab(adv_w, "Advanced")
+            # parameter tabs from the declarative table (EFFECT_CONTROLS)
+            # so the widget<->EffectParams wiring is data, tested Qt-free
+            forms = {}
+            for tab in EFFECT_TABS:
+                forms[tab] = QtWidgets.QFormLayout()
+            for attr, field, tab, label, kind, lo, hi, step, dflt in \
+                    EFFECT_CONTROLS:
+                val = getattr(d, field) if dflt is None else dflt
+                if kind == "f":
+                    wdg = self._slider(lo, hi, val, step)
+                elif kind == "i":
+                    wdg = self._ispin(lo, hi, val)
+                else:
+                    wdg = self._check(val)
+                setattr(self, attr, wdg)
+                forms[tab].addRow(label, wdg)
+            for tab in EFFECT_TABS:
+                tw = QtWidgets.QWidget(); tw.setLayout(forms[tab])
+                tabs.addTab(tw, tab)
 
             tx = QtWidgets.QFormLayout()
             self.text_input = QtWidgets.QLineEdit()
@@ -393,36 +470,12 @@ def qt_classes():
         # ---------------- parameter plumbing ----------------
 
         def current_params(self) -> EffectParams:
+            kw = {}
+            for attr, field, _tab, _lbl, kind, *_ in EFFECT_CONTROLS:
+                w = getattr(self, attr)
+                kw[field] = w.isChecked() if kind == "b" else w.value()
             return EffectParams(
-                scanline_strength=self.scanline_val.value(),
-                triad_strength=self.triad_val.value(),
-                triad_gamma=self.triad_gamma.value(),
-                triad_preserve_luma=self.triad_preserve_luma.isChecked(),
-                triad_softness=self.triad_softness.value(),
-                aberration_px=self.aberration.value(),
-                bloom_sigma=self.bloom_sigma.value(),
-                bloom_strength=self.bloom_strength.value(),
-                bloom_threshold=self.bloom_threshold.value(),
-                noise_strength=self.noise_val.value(),
-                vignette_strength=self.vignette_val.value(),
-                persistence=self.persistence_val.value(),
-                scanline_speed_px_s=self.scanline_speed.value(),
-                scanline_period_px=self.scanline_period.value(),
-                fast_bloom=self.fast_bloom_cb.isChecked(),
-                pixel_size=self.pixel_size.value(),
-                glitch_amp_px=self.glitch_amp.value(),
-                glitch_height_frac=self.glitch_height.value(),
-                brightness=self.brightness.value(),
-                contrast=self.contrast.value(),
-                gamma=self.gamma.value(),
-                saturation=self.saturation.value(),
-                temperature=self.temperature.value(),
-                flicker_strength=self.flicker_strength.value(),
-                flicker_hz=self.flicker_hz.value(),
-                grain_size=self.grain_size.value(),
-                scanline_angle=self.scanline_angle.value(),
-                scanline_thickness=self.scanline_thickness.value(),
-                warp_strength=self.warp_strength.value(),
+                **kw,
                 text=TextParams(
                     text=self.text_input.text(),
                     font=self.text_font_path.text(),
@@ -446,30 +499,14 @@ def qt_classes():
 
         def _apply_settings(self, s: dict) -> None:
             p = EffectParams.from_preset_dict(s, self.current_params())
-            widgets = {
-                "scanline_strength": self.scanline_val, "triad_strength": self.triad_val,
-                "triad_gamma": self.triad_gamma, "triad_softness": self.triad_softness,
-                "noise_strength": self.noise_val, "bloom_sigma": self.bloom_sigma,
-                "bloom_strength": self.bloom_strength, "bloom_threshold": self.bloom_threshold,
-                "vignette_strength": self.vignette_val, "persistence": self.persistence_val,
-                "scanline_speed_px_s": self.scanline_speed,
-                "scanline_period_px": self.scanline_period,
-                "brightness": self.brightness, "contrast": self.contrast,
-                "gamma": self.gamma, "saturation": self.saturation,
-                "temperature": self.temperature, "flicker_strength": self.flicker_strength,
-                "flicker_hz": self.flicker_hz, "scanline_angle": self.scanline_angle,
-                "scanline_thickness": self.scanline_thickness,
-                "warp_strength": self.warp_strength,
-                "glitch_height_frac": self.glitch_height,
-            }
-            for field, widget in widgets.items():
-                widget.setValue(float(getattr(p, field)))
-            self.pixel_size.setValue(p.pixel_size)
-            self.aberration.setValue(p.aberration_px)
-            self.glitch_amp.setValue(p.glitch_amp_px)
-            self.grain_size.setValue(p.grain_size)
-            self.triad_preserve_luma.setChecked(p.triad_preserve_luma)
-            self.fast_bloom_cb.setChecked(p.fast_bloom)
+            for attr, field, _tab, _lbl, kind, *_ in EFFECT_CONTROLS:
+                w = getattr(self, attr)
+                if kind == "b":
+                    w.setChecked(bool(getattr(p, field)))
+                elif kind == "i":
+                    w.setValue(int(getattr(p, field)))
+                else:
+                    w.setValue(float(getattr(p, field)))
             if "crf" in s:
                 self.crf_val.setValue(int(s["crf"]))
             if "bitrate_kbps" in s:

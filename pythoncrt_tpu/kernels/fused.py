@@ -458,11 +458,30 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
 
     def gauss_hpass(src):
         taps = s.taps
+        # Mask-free form (round 4, opt-in PCRT_BLUR_PAD=1): pad 128
+        # zero lanes on the RIGHT (a 128-aligned concat) and roll
+        # cyclically over w+128 — (j + sh) mod (w + 128) lands in the
+        # zero pad exactly when j + sh is outside [0, w), the same
+        # exact zeros the per-tap iota-compare + select produces, with
+        # 8 fewer select passes over the stripe. BITWISE equal
+        # (verified interpret-mode), but on-chip it measured NEUTRAL
+        # twice (941.2 vs 945.0 and 857.9 vs 861.1 fps, 2026-08-19):
+        # Mosaic evidently folds the iota-compare selects into the
+        # roll's own masked lane moves, and the wider 2048-lane rolls
+        # give the saving back. Default stays the masked form.
+        padded = os.environ.get("PCRT_BLUR_PAD") == "1"
+        if padded:
+            wp = w + 128
+            srcp = jnp.concatenate(
+                [src, jnp.zeros(src.shape[:2] + (128,), src.dtype)], axis=2)
         hp = None
         for i, t_ in enumerate(taps):
             sh = i - r
             if sh == 0:
                 term = np.float32(t_) * src
+            elif padded:
+                rolled = pltpu.roll(srcp, (-sh) % wp, axis=2)[:, :, :w]
+                term = np.float32(t_) * rolled
             else:
                 rolled = pltpu.roll(src, (-sh) % w, axis=2)
                 mask = (lane < w - sh) if sh > 0 else (lane >= -sh)
@@ -631,8 +650,8 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
 
 
 def fused_pipeline(img, spec: FusedSpec, *, grain=None, grain_rw=None,
-                   sl=None, vy2=None, vx2=None, tri=None, flicker=None,
-                   interpret: bool = False):
+                   grain_rh=None, sl=None, vy2=None, vx2=None, tri=None,
+                   flicker=None, interpret: bool = False):
     """Run the fused stripe pipeline.
 
     img: (B, 3, H, W) planar — uint8 when spec.pre else f32 in [0,1].
@@ -670,16 +689,21 @@ def fused_pipeline(img, spec: FusedSpec, *, grain=None, grain_rw=None,
                     pl.BlockSpec((gcols, w), lambda p, bb: (0, 0)))
                 args.append(grain_rw)
             # the (ty, wrows) bf16 row-upsample matrix (every program
-            # reads block (0, 0) — it is the same for all stripes)
-            from ..engine import CRTEngine
+            # reads block (0, 0) — it is the same for all stripes).
+            # Passed in from the engine as a jit ARGUMENT (the
+            # constants-as-arguments rule; advisor r3); rebuilt inline
+            # only for direct test callers.
+            if grain_rh is None:
+                from ..engine import CRTEngine
 
-            rh = CRTEngine.grain_row_matrix(
-                ty, wrows, spec.grain_g,
-                tuple(zip(spec.grain_off,
-                          (np.float32(f) for f in spec.grain_frac))))
+                grain_rh = jnp.asarray(CRTEngine.grain_row_matrix(
+                    ty, wrows, spec.grain_g,
+                    tuple(zip(spec.grain_off,
+                              (np.float32(f) for f in spec.grain_frac))))
+                ).astype(jnp.bfloat16)
             in_specs.append(
                 pl.BlockSpec((ty, wrows), lambda p, bb: (0, 0)))
-            args.append(jnp.asarray(rh).astype(jnp.bfloat16))
+            args.append(grain_rh)
         else:
             in_specs.append(
                 pl.BlockSpec((1, ty, w), lambda p, bb: (bb, p, 0)))

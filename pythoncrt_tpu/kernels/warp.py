@@ -342,7 +342,18 @@ def _warp_kernel(
     split: bool, row_align: int = 8, int_domain: bool = False,
     interpret: bool = False, debug: str = "", fpp: int = 1,
     aliased: bool = False, nbuf: int = 3, emit_u8: bool = False,
+    byp_dma: int = 0,
 ):
+    # byp: MAC window rows (the matmul M contribution and y-mask rows).
+    # byp_dma (>= byp, multiple of 8): rows actually DMA'd — Mosaic
+    # requires HBM row slices aligned to the 8-sublane tiling, so
+    # sub-8 / non-multiple-of-8 classes DMA the rounded-up window and
+    # the kernel contracts only the first byp rows (the excluded rows
+    # carry zero y-weight for every tile in the class by construction
+    # of `need`). This is the round-4 "masked half-window" ladder: DMA
+    # bytes stay at the 8-row quantum but the dominant MAC term drops
+    # to the true per-class row count.
+    byp_dma = byp_dma or byp
     refs = refs[1:] if aliased else refs  # skip the pass-through input
     if exact:
         mhi_ref, mlo_ref, my_ref, out_ref, win_ref, sem = refs
@@ -392,7 +403,8 @@ def _warp_kernel(
         # bound, so descriptor count matters more than anything the MXU
         # does.
         pltpu.make_async_copy(
-            img_ref.at[pl.ds(bb * fpp, fpp), :, pl.ds(by, byp), pl.ds(wx, wxp)],
+            img_ref.at[pl.ds(bb * fpp, fpp), :, pl.ds(by, byp_dma),
+                       pl.ds(wx, wxp)],
             win_ref.at[sl, :, :, :, pl.ds(pad, wxp)],
             sem.at[sl],
         ).start()
@@ -416,7 +428,7 @@ def _warp_kernel(
         start_window_dma(t + nbuf - 1, jax.lax.rem(t + nbuf - 1, nbuf))
 
     pltpu.make_async_copy(
-        img_ref.at[pl.ds(0, fpp), :, pl.ds(0, byp), pl.ds(0, wxp)],  # shape-only
+        img_ref.at[pl.ds(0, fpp), :, pl.ds(0, byp_dma), pl.ds(0, wxp)],  # shape-only
         win_ref.at[slot, :, :, :, pl.ds(pad, wxp)],
         sem.at[slot],
     ).wait()
@@ -439,13 +451,21 @@ def _warp_kernel(
         # Mosaic has no sub-32-bit dynamic rotate. Bitcast the window
         # to i32: packing groups SUBLANES (2 bf16 rows or 4 u8 rows per
         # i32 row), so lanes map 1:1 and a 32-bit lane rotate rotates
-        # the narrow-dtype lanes exactly (byp is a multiple of 8 by
-        # construction, covering both pack factors).
+        # the narrow-dtype lanes exactly (byp_dma is a multiple of 8 by
+        # construction, covering both pack factors; masked classes with
+        # byp < byp_dma slice whole packed rows — byp is a multiple of
+        # the pack factor, validated in warp_planar — BEFORE the roll
+        # so the rotate runs on the MAC rows only).
         packed = pltpu.bitcast(full, jnp.int32)
+        if byp < byp_dma:
+            pf = byp_dma // packed.shape[2]
+            packed = packed[:, :, : byp // pf, :]
         rolled = pltpu.bitcast(
             pltpu.roll(packed, wxpf - off, axis=3), full.dtype
         )
     else:
+        if byp < byp_dma:
+            full = full[:, :, :byp, :]
         rolled = pltpu.roll(full, wxpf - off, axis=3)
 
     def to_mxu(wv):
@@ -594,20 +614,42 @@ def warp_planar(
     # Measured 2026-08-18 (c3 1080p, scripts/ab_warp_ladder.py):
     # "8,16,24" 889.9 fps, "16" 864.8, "" 752.8 — launches are cheap,
     # padded rows are not; the full ladder stays.
+    # Round-4 masked half-window rungs (CLOSED, mechanism kept for
+    # A/B): non-multiple-of-8 rungs DMA a round_up(byp_c, 8)-row window
+    # (Mosaic's HBM row-slice alignment floor — a 4-row u8 slice fails
+    # to compile) and contract only byp_c MAC rows (_warp_kernel byp vs
+    # byp_dma). The row model said "4,8,12,16,20,24,28" cuts summed MAC
+    # rows to 0.885x of 8/16/24 at 1080p s=0.15, but ON-CHIP it
+    # measured 857.9 vs 941.7 fps (2026-08-19): the sub-tile row slices
+    # before the de-offset roll force Mosaic relayouts that cost ~6x
+    # the MAC savings. Rungs must be multiples of the i32-bitcast pack
+    # factor (4 for u8 feeds, 2 for bf16); invalid rungs are skipped.
     ladder = tuple(
-        int(r) for r in os.environ.get("PCRT_WARP_LADDER", "8,16,24").split(",")
+        int(r) for r in os.environ.get(
+            "PCRT_WARP_LADDER", "8,16,24").split(",")
         if r.strip())
+    packf = (4 if imgs.dtype == jnp.uint8 else 2) if int_domain else 1
+    # Zero class (round 4): tiles where every output pixel has BOTH
+    # x-taps or BOTH y-taps out of frame (the warp's black corners —
+    # 148/2025 tiles at 1080p s=0.15) produce exact 0.0 through the
+    # masked matmul; a dedicated fill kernel stores those zeros with no
+    # window DMA and no MACs (bitwise identical: emit(0.0) == 0).
+    alive_px = (((t.wx0 > 0) | (t.wx1 > 0))
+                & ((t.wy0 > 0) | (t.wy1 > 0)))
+    tile_alive = alive_px.reshape(yt, TY, xt, TX).any(axis=(1, 3))
     classes = []
-    assigned = np.zeros((yt, xt), bool)
+    assigned = ~tile_alive
     for byp_c in ladder:
         if byp_c >= t.byp:
             break
+        if byp_c % packf:
+            continue
         sel = (need <= byp_c) & ~assigned
         if sel.any():
-            classes.append((byp_c, sel))
+            classes.append((byp_c, min(_round_up(byp_c, 8), t.byp), sel))
             assigned |= sel
     if (~assigned).any():
-        classes.append((t.byp, ~assigned))
+        classes.append((t.byp, t.byp, ~assigned))
 
     # frames per program: amortizes per-program DMA latency and fills
     # the MXU M dim (measured DMA/overhead-bound at fpp=1). The round-3
@@ -627,7 +669,30 @@ def warp_planar(
     nbuf = max(2, int(os.environ.get("PCRT_WARP_NBUF", "3")))
     by2, wx2, off2 = t.by, t.wx, t.off
     out = None
-    for byp_c, sel in classes:
+    if (~tile_alive).any():
+        iz, jz = np.nonzero(~tile_alive)
+
+        def _zero_kernel(ia_ref, ja_ref, out_ref):
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        out = pl.pallas_call(
+            _zero_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(iz.shape[0], b // fpp),
+                in_specs=[],
+                out_specs=pl.BlockSpec(
+                    (fpp, 3, TY, TX),
+                    lambda p, bb, iar, jar: (bb, 0, iar[p], jar[p])),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, 3, t.h, t.w), jnp.uint8 if emit_u8 else jnp.float32),
+            interpret=interpret,
+        )(
+            jnp.asarray(iz.astype(np.int32)),
+            jnp.asarray(jz.astype(np.int32)),
+        )
+    for byp_c, byp_dma, sel in classes:
         ia, ja = np.nonzero(sel)
         ntc = ia.shape[0]
         # index maps receive (grid indices..., *scalar_prefetch_refs);
@@ -663,7 +728,7 @@ def warp_planar(
                 lambda p, bb, by1, wx1, of1, iar, jar: (
                     bb, 0, iar[p], jar[p])),
             scratch_shapes=[
-                pltpu.VMEM((nbuf, fpp, 3, byp_c, t.wxpf),
+                pltpu.VMEM((nbuf, fpp, 3, byp_dma, t.wxpf),
                            imgs.dtype if int_domain else jnp.float32),
                 pltpu.SemaphoreType.DMA((nbuf,)),
             ],
@@ -672,13 +737,13 @@ def warp_planar(
             _warp_kernel, byp=byp_c, wxp=t.wxp, d=t.d, wxd=t.wxd, pad=t.pad,
             exact=exact, split=t.split, row_align=t.row_align,
             int_domain=int_domain, interpret=interpret, debug=debug, fpp=fpp,
-            aliased=aliased, nbuf=nbuf, emit_u8=emit_u8,
+            aliased=aliased, nbuf=nbuf, emit_u8=emit_u8, byp_dma=byp_dma,
         )
         operands = [imgs] + ([out] if aliased else []) + list(masks)
         # raise Mosaic's 16 MB scoped-vmem default when the window
         # scratch + working set outgrows it (fpp=32 needs ~19 MB at
         # 1080p); charge 2x the scratch estimate for Mosaic temporaries
-        scratch_b = (nbuf * fpp * 3 * byp_c * t.wxpf
+        scratch_b = (nbuf * fpp * 3 * byp_dma * t.wxpf
                      * (imgs.dtype.itemsize if int_domain else 4))
         params = {}
         if scratch_b > (6 << 20):

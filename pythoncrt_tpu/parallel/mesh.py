@@ -7,12 +7,19 @@ the same two axes scale across TPU chips over ICI (SURVEY.md §2.3):
 - **Frame-axis DP** (single clip): the batch axis is sharded across the
   mesh. Every stage is frame-local except the persistence IIR
   s_t = p*s_{t-1} + (1-p)*x_t. Each shard reduces its chunk to the pair
-  (A_i, b_i) = (p^{n_i}, local-scan final with zero init); an all_gather
-  of these per-shard summaries (one frame per shard — the only
-  collective in the pipeline) lets every shard compute its incoming
-  carry by the affine composition (A2*A1, A2*b1 + b2), then correct its
-  local outputs as y_t + p^(t+1) * carry_in. Exactly the ring/context-
+  (A_i, b_i) = (p^{n_i}, local-scan final with zero init); a
+  Hillis-Steele prefix composition over the shard axis — ceil(log2(n))
+  ppermute rounds of ONE frame each, composing (A2*A1, A2*b1 + b2) —
+  gives every shard its incoming carry, which corrects its local
+  outputs as y_t + p^(t+1) * carry_in. Exactly the ring/context-
   parallel treatment of a linear recurrence, in one shard_map.
+  Shard 0 absorbs the stream head (first-frame passthrough / carried
+  state) into its summary as a CONSTANT affine map (A=0), so no extra
+  collective is spent on it. Per-step collective budget at 1080p f32
+  (docs/ARCHITECTURE.md has the table): log2(8)+1 = 4 one-frame
+  ppermutes + one masked psum for the replicated carry-out ≈ 6 frame
+  transfers/device vs 14 for the round-3 all_gather form
+  (PCRT_SHARD_COLLECTIVE=all_gather keeps that form for A/B).
 
 - **Clip-axis DP** (batch renders): clips are independent streams —
   shard the clip axis, zero collectives (BASELINE.json config 5).
@@ -47,8 +54,14 @@ class ShardedCRTEngine:
 
     process(frames, indices, state) shards the batch across the mesh;
     batch size must be a multiple of the mesh size. The persistence
-    carry crosses shard boundaries via one all_gather of per-shard
-    (A, b) summaries (H*W*3 floats per shard).
+    carry crosses shard boundaries via a log2(ndev)-round ppermute
+    prefix composition of per-shard (A, b) summaries (one frame per
+    round per device — see the module docstring for the byte budget).
+
+    Round 4 made this path feature-complete vs the single-chip engine:
+    it accepts the engine's planar layout (the pipeline no longer
+    forces NHWC when sharding) and offers process_stack /
+    jitted_multi_step dispatch batching exactly like CRTEngine.
     """
 
     def __init__(self, engine: CRTEngine, mesh: Optional[Mesh] = None) -> None:
@@ -62,22 +75,57 @@ class ShardedCRTEngine:
         self._build()
 
     def _build(self) -> None:
+        import os
+
         eng = self.engine
         pp, om, persist = self._pp, self._om, self._persist
         axis = FRAME_AXIS
+        ndev = self.ndev
+        # collective form A/B (module docstring): the ppermute prefix
+        # scan moves ~log2(n)+3 frames/device/step, the round-3
+        # all_gather form ~2(n-1). Kept switchable for on-hardware
+        # comparison; the math differs only in f32 combine order.
+        use_gather = os.environ.get("PCRT_SHARD_COLLECTIVE") == "all_gather"
+
+        def broadcast_from_last(val):
+            # replicate the last shard's value: a masked psum moves
+            # ~2 frames/device (reduce + broadcast ride ICI) vs the
+            # (n-1)-frame all_gather it replaces
+            my = jax.lax.axis_index(axis)
+            return jax.lax.psum(
+                jnp.where(my == ndev - 1, val, jnp.zeros_like(val)), axis)
+
+        def chain_dim(x):
+            # broadcast rank for per-frame scalars vs frame arrays
+            return (slice(None),) + (None,) * (x.ndim - 1)
 
         def local_block(frames_u8, aux, state, first_arr, c):
-            """Runs per shard. state/first/consts replicated; frames/aux sharded."""
+            """Runs per shard. state/first/consts replicated;
+            frames/aux sharded. Layout-agnostic: frames/state follow
+            the ENGINE's layout ((B, H, W, 3) or planar (B, 3, H, W));
+            every op below is elementwise or batch-axis-only."""
+            if eng.layout == "planar" and not eng.planar_ok:
+                # mirror CRTEngine._step's planar fallback: convert at
+                # the shard-local edges (glitch / text-after configs)
+                pc = np.array(eng._plane_colors)
+                inv = np.argsort(pc)
+                frames_u8 = jnp.transpose(frames_u8, (0, 2, 3, 1))[..., inv]
+                state = jnp.transpose(state, (1, 2, 0))[..., inv]
+                out, ns = local_core(frames_u8, aux, state, first_arr, c)
+                return (jnp.transpose(out[..., pc], (0, 3, 1, 2)),
+                        jnp.transpose(ns[..., pc], (2, 0, 1)))
+            return local_core(frames_u8, aux, state, first_arr, c)
+
+        def local_core(frames_u8, aux, state, first_arr, c):
             imgs = eng._batch_effects(frames_u8, aux, c)
             if not persist:
                 # _finish owns the uint8 cast (including the scaled
                 # [0, 255] domain the fused warp epilogue emits). The
                 # carried state is the GLOBAL last frame — each shard's
-                # _finish returns its LOCAL tail, so gather and take the
-                # last shard's (P() out-spec would silently keep shard
-                # 0's otherwise).
+                # _finish returns its LOCAL tail; broadcast the last
+                # shard's (a P() out-spec would silently keep shard 0's).
                 outs, st = eng._finish(imgs, state, first_arr)
-                return outs, jax.lax.all_gather(st, axis)[-1]
+                return outs, broadcast_from_last(st)
 
             my = jax.lax.axis_index(axis)
             n_local = imgs.shape[0]
@@ -91,31 +139,60 @@ class ShardedCRTEngine:
             y_last, y = jax.lax.scan(blend0, jnp.zeros_like(imgs[0]), imgs)
             tpow = pp ** jnp.arange(1, n_local + 1, dtype=jnp.float32)
 
-            # Per-shard summary pair: A_i = p^n_local, b_i = y_last.
-            A_i = jnp.float32(pp**n_local)
-            b_all = jax.lax.all_gather(y_last, axis)  # (ndev, H, W, 3)
-            A_all = jax.lax.all_gather(A_i, axis)  # (ndev,)
+            # Per-shard affine summary T_i(x) = A_i x + b_i.
+            # Shard 0 absorbs the stream head: first-frame passthrough
+            # equals carrying s_{-1} = x_0 (crt_filter.py:1094-1095),
+            # reconstructed LOCALLY from y_0 = (1-p) * x_0; otherwise
+            # the replicated incoming state. Its summary becomes the
+            # CONSTANT map A=0, b = T_0(s_init) — so the stream head
+            # rides the prefix scan instead of its own all_gather.
+            A_loc = jnp.float32(pp ** n_local)
+            s_init = jnp.where(first, y[0] / om, state)
+            is0 = my == 0
+            A_i = jnp.where(is0, jnp.float32(0.0), A_loc)
+            b_i = jnp.where(is0, A_loc * s_init + y_last, y_last)
 
-            # First-frame-of-stream semantics (crt_filter.py:1094-1095):
-            # no previous state means frame 0 passes through unblended,
-            # which equals carrying s_{-1} = x_0 (the GLOBAL first frame,
-            # i.e. shard 0's), reconstructed from y_0 = (1-p) * x_0 and
-            # gathered so every shard agrees on the stream head.
-            x0_global = jax.lax.all_gather(y[0], axis)[0] / om
-            s_init = jnp.where(first, x0_global, state)
+            if use_gather:
+                b_all = jax.lax.all_gather(b_i, axis)  # (ndev, ...)
+                A_all = jax.lax.all_gather(A_i, axis)  # (ndev,)
+                # exclusive left fold over shards j < my (shard 0's
+                # constant map carries s_init, so zeros is the right
+                # fold seed for every my >= 1)
+                carry = jnp.zeros_like(b_i)
+                for j in range(ndev):
+                    carry = jnp.where(j < my, A_all[j] * carry + b_all[j],
+                                      carry)
+                # valid only on shard ndev-1 (its carry is the full
+                # exclusive prefix); broadcast_from_last masks the rest
+                incl_last = A_all[ndev - 1] * carry + b_all[ndev - 1]
+                new_state = jnp.clip(broadcast_from_last(incl_last), 0.0, 1.0)
+                carry = jnp.where(my == 0, s_init, carry)
+            else:
+                # Hillis-Steele inclusive prefix composition over the
+                # shard axis: ceil(log2(n)) ppermute rounds, one frame
+                # (b) + one scalar (A) each. Composing the INCOMING
+                # prefix before the current: (A, b) <- (A*A_in,
+                # A*b_in + b). Non-receiving shards keep their pair.
+                A_c, b_c = A_i, b_i
+                d = 1
+                while d < ndev:
+                    perm = [(i, i + d) for i in range(ndev - d)]
+                    A_in = jax.lax.ppermute(A_c, axis, perm)
+                    b_in = jax.lax.ppermute(b_c, axis, perm)
+                    take = my >= d
+                    b_c = jnp.where(take, A_c * b_in + b_c, b_c)
+                    A_c = jnp.where(take, A_c * A_in, A_c)
+                    d *= 2
+                # shard i now holds T_{0..i}; since shard 0's map is
+                # constant (A=0), every inclusive prefix is constant and
+                # its b IS the running state. Exclusive carry = shift by
+                # one shard; shard 0's carry is s_init itself.
+                b_shift = jax.lax.ppermute(
+                    b_c, axis, [(i, i + 1) for i in range(ndev - 1)])
+                carry = jnp.where(my == 0, s_init, b_shift)
+                new_state = jnp.clip(broadcast_from_last(b_c), 0.0, 1.0)
 
-            # Exclusive affine combine over shards j < my (static loop).
-            carry = s_init
-            for j in range(self.ndev):
-                upd = A_all[j] * carry + b_all[j]
-                carry = jnp.where(j < my, upd, carry)
-
-            outs = jnp.clip(y + tpow[:, None, None, None] * carry, 0.0, 1.0)
-            # Replicated new state: full combine over all shards.
-            full = s_init
-            for j in range(self.ndev):
-                full = A_all[j] * full + b_all[j]
-            new_state = jnp.clip(full, 0.0, 1.0)
+            outs = jnp.clip(y + tpow[chain_dim(y)] * carry, 0.0, 1.0)
             return ocolor.to_uint8(outs), new_state
 
         in_specs = (
@@ -137,6 +214,45 @@ class ShardedCRTEngine:
             jax.shard_map(
                 local_block, mesh=self.mesh, in_specs=in_specs,
                 out_specs=out_specs, check_vma=False,
+            )
+        )
+
+        def multi_block(frames_stack, aux_stack, state, first_arr, c):
+            # n sequential shard-local chunks in ONE dispatch — the
+            # same lax.scan dispatch amortization as
+            # CRTEngine._multi_step, with the collectives running
+            # inside the scan body (legal under shard_map; one
+            # ppermute chain per chunk).
+            def body(carry, xs):
+                st, first = carry
+                frames, aux = xs
+                out, ns = local_block(frames, aux, st, first, c)
+                return (ns, jnp.zeros_like(first)), out
+
+            (ns, _), outs = jax.lax.scan(
+                body, (state, first_arr), (frames_stack, aux_stack))
+            return outs, ns
+
+        stack_specs = (
+            P(None, axis),  # (n, B, ...) frame stacks: chunk axis whole
+            FrameAux(
+                frame_idx=P(None, axis),
+                phase=P(None, axis),
+                flicker=P(None, axis),
+                noise=P(None, axis) if self._aux_has("noise") else None,
+                glitch_base=(P(None, axis)
+                             if self._aux_has("glitch_base") else None),
+                glitch_seg=(P(None, axis)
+                            if self._aux_has("glitch_seg") else None),
+            ),
+            P(),
+            P(),
+            jax.tree.map(lambda _: P(), eng._c),
+        )
+        self._mstep = jax.jit(
+            jax.shard_map(
+                multi_block, mesh=self.mesh, in_specs=stack_specs,
+                out_specs=(P(None, axis), P()), check_vma=False,
             )
         )
 
@@ -168,6 +284,32 @@ class ShardedCRTEngine:
         first_arr = jnp.full((1,), first, jnp.bool_)
         out, new_state = self._step(frames_u8, aux, state, first_arr, self.engine._c)
         return out, new_state
+
+    def process_stack(self, frames_stack, frame_indices, state=None):
+        """n sequential sharded chunks in ONE device dispatch (_mstep).
+
+        frames_stack: (n, B, ...) uint8 in the engine's layout;
+        frame_indices: (n, B). Bitwise identical to n successive
+        process() calls — the carry threads chunk-to-chunk inside a
+        lax.scan under the SAME shard_map, so each chunk still pays
+        exactly one ppermute prefix chain; only the per-call dispatch
+        overhead amortizes (pipeline.py steps_per_call, now first-class
+        under sharding)."""
+        frames_stack = jnp.asarray(frames_stack)
+        n, b = frames_stack.shape[:2]
+        if b % self.ndev != 0:
+            raise ValueError(f"batch {b} not divisible by mesh size {self.ndev}")
+        idx = np.asarray(frame_indices)
+        aux = self.engine.make_aux(idx.reshape(-1))
+        aux = jax.tree.map(
+            lambda a: jnp.reshape(a, (n, b) + a.shape[1:]), aux)
+        first = state is None
+        if first:
+            state = self.engine.init_state()
+        outs, new_state = self._mstep(
+            frames_stack, aux, state, jnp.full((1,), first, jnp.bool_),
+            self.engine._c)
+        return outs, new_state
 
 
 class MultiClipEngine:
@@ -270,7 +412,10 @@ class MultiClipEngine:
             # stream start: each clip's frame 0 passes through unblended
             # (crt_filter.py:1094-1095), handled by the first flag inside
             # _finish exactly as in ShardedCRTEngine/CRTEngine.
-            states = jnp.zeros((c, self.engine.h, self.engine.w, 3), jnp.float32)
+            # derive the per-clip state shape from the engine's layout
+            # contract rather than hardcoding NHWC (advisor r3)
+            states = jnp.zeros((c,) + self.engine.init_state().shape,
+                               jnp.float32)
         first_arr = jnp.full((1,), first, jnp.bool_)
         outs, new_states = self._step(flat, aux, states, first_arr, self.engine._c)
         return outs.reshape((c, b) + outs.shape[1:]), new_states
@@ -295,7 +440,8 @@ class MultiClipEngine:
             lambda a: jnp.reshape(a, (n, c * b) + a.shape[1:]), aux)
         first = states is None
         if first:
-            states = jnp.zeros((c, self.engine.h, self.engine.w, 3), jnp.float32)
+            states = jnp.zeros((c,) + self.engine.init_state().shape,
+                               jnp.float32)
         outs, new_states = self._mstep(
             flat, aux, states, jnp.full((1,), first, jnp.bool_),
             self.engine._c)

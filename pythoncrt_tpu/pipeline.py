@@ -222,10 +222,11 @@ def process_video(
     devices: cap on how many devices "auto" shards across (0 = all).
 
     steps_per_call: batch chunks scanned inside ONE device dispatch
-    (engine.process_stack) — amortizes per-dispatch launch overhead
-    while the per-iteration working set stays one batch. 0 = auto
-    (4 on a single device; 1 when sharding across devices or writing
-    segments, whose journal snapshots the carry per batch).
+    (engine/ShardedCRTEngine process_stack) — amortizes per-dispatch
+    launch overhead while the per-iteration working set stays one
+    batch. 0 = auto (4, single-device and sharded alike; 1 when
+    writing segments, whose journal snapshots the carry per batch —
+    an explicit value > 1 is forced to 1 there, with a notice).
 
     segment_frames > 0 enables intra-render checkpointing: output is
     written as batch-aligned segments with a resume journal (see
@@ -262,11 +263,13 @@ def process_video(
         # planes straight into the engine's planar layout and pipe
         # planar output back to the encoder — zero host repack, zero
         # on-device relayout (layout="auto" falls back to NHWC for
-        # configs the planar step doesn't cover; the sharded runner
-        # keeps the NHWC contract). PCRT_NO_PLANAR=1 opts out.
+        # configs the planar step doesn't cover). Round 4: the sharded
+        # runner takes the planar layout too (ShardedCRTEngine is
+        # layout-agnostic — frames shard on axis 0 either way), so
+        # multi-chip runs keep the single-chip layout win.
+        # PCRT_NO_PLANAR=1 opts out.
         want_planar = (
-            not will_shard
-            and pipe_format == "rgb24"
+            pipe_format == "rgb24"
             and vio.find_ffmpeg() is not None
             and os.environ.get("PCRT_NO_PLANAR") != "1"
         )
@@ -289,11 +292,20 @@ def process_video(
     segmented = segment_frames > 0
     spc = int(steps_per_call)
     if spc <= 0:
-        # auto: one dispatch per 4 batches on a single device; keep
-        # per-batch dispatch when sharded (ShardedCRTEngine has its own
-        # step) or segmented (the journal snapshots the carry per batch)
-        spc = 1 if (will_shard or segmented) else 4
-    elif spc > 1 and (will_shard or segmented):
+        # auto: one dispatch per 8 batches at <=1080p (r4: 905->913 fps
+        # at the r3 state, +9.5 at the r4 state; the super-batch holds
+        # spc*B decoded frames in host RAM — ~1.6 GB at 1080p B=32,
+        # acceptable; 4 above 1080p where it would be 6+ GB), for both
+        # single-device and sharded runs (ShardedCRTEngine.process_stack
+        # scans chunks under one shard_map). Keep per-batch dispatch
+        # when segmented (the journal snapshots the carry per batch).
+        spc = 1 if segmented else (8 if out_h * out_w <= 1920 * 1080 else 4)
+    elif spc > 1 and segmented:
+        # an explicit request can't be honored: segment boundaries need
+        # a carry snapshot per batch. Say so instead of silently
+        # clamping (advisor r3).
+        print("steps-per-call > 1 is forced to 1 under --segment-frames "
+              "(the journal snapshots the carry per batch)", flush=True)
         spc = 1
     writer = None
     used_gpu = False
@@ -434,11 +446,13 @@ def process_video(
                 idx0, sb = item
                 if spc > 1 and sb.shape[0] == feed_bs:
                     # full super-batch: one multi-step dispatch covers
-                    # spc chunks (bitwise == spc process() calls)
+                    # spc chunks (bitwise == spc process() calls); the
+                    # sharded runner's process_stack scans under the
+                    # same shard_map (round 4)
                     with perf.timed("fx.dispatch"):
                         stack = sb.reshape((spc, batch_size) + sb.shape[1:])
                         idxs = np.arange(idx0, idx0 + feed_bs)
-                        out_dev, state = eng.process_stack(
+                        out_dev, state = runner.process_stack(
                             stack, idxs.reshape(spc, batch_size), state=state)
                         out_dev.copy_to_host_async()
                     if pending is not None:

@@ -195,6 +195,43 @@ def test_native_rng_deterministic(frames_small):
     assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_native_rng_resume_invariant(frames_small):
+    """Native-mode draws key on the ABSOLUTE frame index (fold_in of
+    frame_idx), so a mid-stream restart — the segment-resume shape —
+    reproduces the same bytes as a straight run. This is the property
+    that makes the round-4 default rbg impl resume-safe within one
+    jaxlib version (engine._base_key); it must hold for any impl."""
+    p = identity_params(noise_strength=10.0, persistence=0.4,
+                        glitch_amp_px=4, glitch_height_frac=0.3)
+    eng = CRTEngine(p, H, W, FPS, rng="native", seed=7)
+    whole, _ = eng.process(frames_small, np.arange(8))
+    # "resume": a FRESH engine (new process) starts at frame 5 with the
+    # carried state, exactly as segments.py restores from its snapshot
+    head, state = CRTEngine(p, H, W, FPS, rng="native", seed=7).process(
+        frames_small[:5], np.arange(5))
+    tail, _ = CRTEngine(p, H, W, FPS, rng="native", seed=7).process(
+        frames_small[5:], np.arange(5, 8), state=np.asarray(state))
+    got = np.concatenate([np.asarray(head), np.asarray(tail)])
+    np.testing.assert_array_equal(got, np.asarray(whole))
+
+
+def test_mismatched_state_rejected(frames_small):
+    """Stated deviation (PARITY.md): the export engine refuses a
+    shape-mismatched persistence carry (the reference resizes it,
+    crt_filter.py:689-693 — a GUI-preview situation the oracle path
+    handles; the compiled engine is static-shape by design)."""
+    p = identity_params(persistence=0.5)
+    eng = CRTEngine(p, H, W, FPS)
+    bad = np.zeros((H // 2, W // 2, 3), np.float32)
+    with pytest.raises(ValueError, match="documented deviation"):
+        eng.process(frames_small, np.arange(8), state=bad)
+    # the oracle path DOES implement the reference's resize-blend
+    from pythoncrt_tpu import oracle
+
+    out = oracle.persistence_blend(bad, np.zeros((H, W, 3), np.float32), 0.5)
+    assert out.shape == (H, W, 3)
+
+
 def test_native_noise_statistics(frames_small):
     # native on-device noise must match the configured amplitude
     strength = 40.0

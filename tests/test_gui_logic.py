@@ -142,3 +142,144 @@ class TestQtOffscreenSmoke:
             wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         wr.release()
         return str(path)
+
+
+class TestEnginePreview:
+    """Round 4: the engine-backed preview path (render_preview_frame
+    use_engine=True) — a compiled preview-sized CRTEngine with the
+    preview's injected time-seeded grain and preview glitch semantics —
+    must match the oracle preview within the engine parity contract."""
+
+    def test_engine_preview_matches_oracle(self, monkeypatch):
+        frame = synth_frames(1, 48, 64, seed=21)[0]
+        p = EffectParams(noise_strength=6.0, glitch_amp_px=4,
+                         glitch_height_frac=0.4, scanline_strength=0.5,
+                         vignette_strength=0.2, persistence=0.0)
+        ref, _ = render_preview_frame(frame, p, t=0.7, use_engine=False)
+        # forbid the silent oracle fallback INSIDE the engine-mode call:
+        # a broken engine path must fail here, not pass vacuously
+        from pythoncrt_tpu import gui_qt
+
+        def no_fallback(*a, **k):
+            raise AssertionError("engine preview fell back to the oracle")
+
+        monkeypatch.setattr(gui_qt.oracle, "apply_effects", no_fallback)
+        got, _ = render_preview_frame(frame, p, t=0.7, use_engine=True)
+        monkeypatch.undo()
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32)).max()
+        assert diff <= 1
+
+    def test_engine_cache_reuses_and_evicts(self):
+        from pythoncrt_tpu import gui_qt
+
+        gui_qt._PREVIEW_ENGINES.clear()
+        p = EffectParams(noise_strength=0.0, persistence=0.0)
+        e1 = gui_qt._get_preview_engine(p, 64, 48)
+        assert gui_qt._get_preview_engine(p, 64, 48) is e1
+        for i in range(gui_qt._PREVIEW_ENGINES_MAX):
+            gui_qt._get_preview_engine(
+                EffectParams(scanline_strength=0.1 * (i + 1),
+                             noise_strength=0.0), 64, 48)
+        assert len(gui_qt._PREVIEW_ENGINES) == gui_qt._PREVIEW_ENGINES_MAX
+
+    def test_engine_failure_falls_back_to_oracle(self, monkeypatch):
+        from pythoncrt_tpu import gui_qt
+
+        monkeypatch.setattr(gui_qt, "_get_preview_engine",
+                            lambda *a: (_ for _ in ()).throw(RuntimeError()))
+        frame = synth_frames(1, 48, 64, seed=22)[0]
+        p = EffectParams(noise_strength=0.0, persistence=0.0)
+        got, _ = render_preview_frame(frame, p, t=0.3, use_engine=True)
+        ref, _ = render_preview_frame(frame, p, t=0.3, use_engine=False)
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestControlWiring:
+    """The declarative widget<->EffectParams table (gui_qt.EFFECT_CONTROLS)
+    — the live re-render wiring — is data, asserted here without Qt."""
+
+    def _numeric_fields(self):
+        import dataclasses
+
+        return {f.name for f in dataclasses.fields(EffectParams)
+                if f.name != "text"}
+
+    def test_table_covers_every_effect_field_once(self):
+        from pythoncrt_tpu.gui_qt import EFFECT_CONTROLS
+
+        fields = [row[1] for row in EFFECT_CONTROLS]
+        assert len(fields) == len(set(fields))
+        assert set(fields) == self._numeric_fields()
+
+    def test_kinds_match_field_types(self):
+        from pythoncrt_tpu.gui_qt import EFFECT_CONTROLS
+
+        d = EffectParams()
+        for attr, field, tab, label, kind, lo, hi, step, dflt in EFFECT_CONTROLS:
+            v = getattr(d, field)
+            if kind == "b":
+                assert isinstance(v, bool), field
+            elif kind == "i":
+                assert isinstance(v, int) and not isinstance(v, bool), field
+            else:
+                assert isinstance(v, float), field
+
+    def test_defaults_inside_ranges_and_clamp_stable(self):
+        """Every widget default sits in the widget range, and clamping
+        any in-range value keeps it in range (the GUI can never produce
+        a value the CLI clamp domain rejects into a different range).
+        The single explicit default is the documented GUI deviation:
+        scanline speed 60 (crt_filter.py:1493) vs CLI 30 (:1177)."""
+        import dataclasses
+
+        from pythoncrt_tpu.gui_qt import EFFECT_CONTROLS
+
+        d = EffectParams()
+        for attr, field, tab, label, kind, lo, hi, step, dflt in EFFECT_CONTROLS:
+            if kind == "b":
+                continue
+            val = getattr(d, field) if dflt is None else dflt
+            assert lo <= val <= hi, field
+            for x in (lo, hi, val):
+                cl = getattr(
+                    dataclasses.replace(d, **{field: x}).clamped(), field)
+                assert lo <= cl <= hi, (field, x, cl)
+        explicit = [(r[1], r[8]) for r in EFFECT_CONTROLS if r[8] is not None]
+        assert explicit == [("scanline_speed_px_s", 60.0)]
+
+    def test_tabs_known(self):
+        from pythoncrt_tpu.gui_qt import EFFECT_CONTROLS, EFFECT_TABS
+
+        assert set(r[2] for r in EFFECT_CONTROLS) == set(EFFECT_TABS)
+
+
+class TestRenderJob:
+    """RenderWorker's Qt-free core (gui_qt.run_render_job): progress and
+    done signal plumbing, success and failure paths."""
+
+    def test_success_reports_encoder(self, monkeypatch):
+        from pythoncrt_tpu import gui_qt, pipeline
+
+        def fake_process_video(progress_cb=None, **kw):
+            progress_cb(0.5)
+            progress_cb(1.0)
+            return True  # used_gpu
+
+        monkeypatch.setattr(pipeline, "process_video", fake_process_video)
+        prog, done = [], []
+        gui_qt.run_render_job({"input_path": "x"}, prog.append,
+                              lambda ok, msg: done.append((ok, msg)))
+        assert prog == [0.5, 1.0]
+        assert done == [(True, "Hardware encoder")]
+
+    def test_failure_emits_done_false(self, monkeypatch):
+        from pythoncrt_tpu import gui_qt, pipeline
+
+        def boom(**kw):
+            raise RuntimeError("decode failed")
+
+        monkeypatch.setattr(pipeline, "process_video", boom)
+        done = []
+        gui_qt.run_render_job({}, lambda v: None,
+                              lambda ok, msg: done.append((ok, msg)))
+        assert done == [(False, "decode failed")]
