@@ -917,7 +917,19 @@ class CRTEngine:
         gh, gw = self._grain_hw
         if noise is None:
             key = jax.random.fold_in(self._base_key, frame_idx)
-            field = jax.random.normal(jax.random.fold_in(key, 11), (gh, gw), jnp.float32)
+            # PCRT_GRAIN_DRAW=bf16: draw the normal field at bf16 (16
+            # random bits/element -> half the threefry work; the values
+            # land on the bf16 grid the MXU/kernel dots truncate to
+            # anyway) and widen to f32 for the shared downstream paths.
+            # Distribution-legal for rng="native" (PARITY.md); measured
+            # NEUTRAL on-chip (c4 full-res grain, the worst case:
+            # 1465.3 -> 1461.9 fps — threefry bit-gen is not the cost,
+            # the box-muller transform is), so it stays opt-in/A/B.
+            dt = (jnp.bfloat16 if os.environ.get("PCRT_GRAIN_DRAW") == "bf16"
+                  else jnp.float32)
+            field = jax.random.normal(
+                jax.random.fold_in(key, 11), (gh, gw), dt
+            ).astype(jnp.float32)
         else:
             field = noise
         if p.grain_size > 1:

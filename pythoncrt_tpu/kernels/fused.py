@@ -233,6 +233,20 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
     #   noepi: skip stages 7-11
     #   nopow: triad/grade pow -> multiply (same traffic, no transcend.)
     debug = os.environ.get("PCRT_FUSED_DEBUG", "")
+    # pow dispatch (round 4): the FINAL triad pow (after the last LUT
+    # quantize — no cliff downstream) uses ops.color.pow_final's explog
+    # form by default (~0.03 LSB at that site's budget; the big part of
+    # the pow-wall win). Every pow UPSTREAM of a quantize stays
+    # jnp.power: the TPU explog pair's ~1e-4 relative error flips LUT
+    # bins en masse (all-sites A/B measured 15.7% of 1080p pixels off
+    # vs the oracle, max 2 LSB — contract broken). PCRT_POW_EXPLOG=all
+    # restores that A/B; =0 forces jnp.power everywhere.
+    explog_all = os.environ.get("PCRT_POW_EXPLOG") in ("1", "all")
+
+    def powe(v, e):
+        if explog_all:
+            return jnp.exp2(np.float32(e) * jnp.log2(v))
+        return jnp.power(v, np.float32(e))
 
     # unpack optional operand refs by spec flags (same order as the call)
     refs = list(refs)
@@ -369,7 +383,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
             if debug == "nopow":
                 x = jnp.clip(x * np.float32(s.inv_gamma), 0.0, 1.0)
             else:
-                x = jnp.clip(jnp.power(x, np.float32(s.inv_gamma)), 0.0, 1.0)
+                x = jnp.clip(powe(x, s.inv_gamma), 0.0, 1.0)
         return x
 
     def knee(xv):
@@ -576,7 +590,7 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
         def _pow(v, e):
             if debug == "nopow":
                 return v * np.float32(e)
-            return jnp.power(v, np.float32(e))
+            return powe(v, e)
 
         if s.lut_exact:
             lin = _pow(_quantize_lut(m), g)
@@ -595,10 +609,18 @@ def _fused_kernel(img_any, *refs, spec: FusedSpec, nyt: int):
                   + np.float32(REC709[2]) * out_lin[ib:ib + 1])
             ratio = jnp.clip(yb / jnp.maximum(ya, np.float32(1e-6)), 0.5, 2.0)
             out_lin = out_lin * ratio
+        def _pow_fin(v, e):
+            # the final site: pow_final's explog default (see powe note)
+            if debug == "nopow":
+                return v * np.float32(e)
+            from ..ops.color import pow_final
+
+            return pow_final(v, e)
+
         if s.lut_exact:
-            m = _pow(_quantize_lut(out_lin), 1.0 / g)
+            m = _pow_fin(_quantize_lut(out_lin), 1.0 / g)
         else:
-            m = _pow(jnp.clip(out_lin, 0.0, 1.0), 1.0 / g)
+            m = _pow_fin(jnp.clip(out_lin, 0.0, 1.0), 1.0 / g)
         m = jnp.clip(m, 0.0, 1.0)
 
     if s.scanlines and debug != "noepi":  # stage 8 (1-D; operand (B,H,1))

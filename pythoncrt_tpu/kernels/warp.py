@@ -665,8 +665,10 @@ def warp_planar(
                            32, 16, 8, 4, 2, 1) if b % f == 0)
     # depth >= 2 required: at nbuf=1 program 0's window DMA would start
     # twice (the t==0 prologue AND the steady-state t+nbuf-1 issue hit
-    # the same slot), desynchronizing the semaphore
-    nbuf = max(2, int(os.environ.get("PCRT_WARP_NBUF", "3")))
+    # the same slot), desynchronizing the semaphore. Default 4 since
+    # r4: measured 973.7 vs 970.7 fps at c3 1080p, twice — one more
+    # in-flight window hides the tail of the DMA latency at fpp=32.
+    nbuf = max(2, int(os.environ.get("PCRT_WARP_NBUF", "4")))
     by2, wx2, off2 = t.by, t.wx, t.off
     out = None
     if (~tile_alive).any():

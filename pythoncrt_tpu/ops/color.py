@@ -6,11 +6,34 @@ fuses into the single XLA program the engine emits.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
 REC709_R, REC709_G, REC709_B = 0.2126, 0.7152, 0.0722
 TRIAD_LUT_SIZE = 1024
+
+
+def pow_final(x: jnp.ndarray, e: float) -> jnp.ndarray:
+    '''pow for the FINAL triad site only — the one applied AFTER the
+    last LUT quantize, with no quantize cliff downstream (only 1-ish-
+    Lipschitz multiplies and the output rint). Default: exp2(e*log2(x))
+    — Mosaic's jnp.power costs 9.7 cyc/vreg of generic special-case
+    handling, while the explog form rides the hardware transcendental
+    unit (measured r4: c3 974 -> ~1150 fps with ALL pow sites explog;
+    this final-site-only default ships c3 at 1022.5 fps official).
+    The TPU exp2/log2 pair carries ~1e-4 relative error — ~0.03 uint8
+    LSB at this site's budget (safe), but WAY outside the budget
+    upstream of a quantize: the all-sites form measured 15.7% of 1080p
+    pixels off (max 2 LSB) vs the oracle, so grade and first-triad pows
+    MUST stay jnp.power. PCRT_POW_EXPLOG=0 restores jnp.power here
+    (bit-matching the r3 output bytes); =all extends it to every site
+    (A/B only — breaks the 1-LSB contract). Inputs are clipped >= 0
+    (log2(0) = -inf -> exp2 -> 0, the correct pow limit).'''
+    if os.environ.get("PCRT_POW_EXPLOG", "final") != "0":
+        return jnp.exp2(np.float32(e) * jnp.log2(x))
+    return jnp.power(x, np.float32(e))
 
 
 def rec709_luma(img: jnp.ndarray) -> jnp.ndarray:
@@ -87,11 +110,10 @@ def apply_triad(
         y_after = rec709_luma(out_lin)
         ratio = jnp.clip(y_before / jnp.maximum(y_after, 1e-6), 0.5, 2.0)
         out_lin = out_lin * ratio[..., None]
-    inv_g = np.float32(1.0 / g)
     if lut_exact:
-        out = jnp.power(_quantize_lut(out_lin), inv_g)
+        out = pow_final(_quantize_lut(out_lin), 1.0 / g)
     else:
-        out = jnp.power(jnp.clip(out_lin, 0.0, 1.0), inv_g)
+        out = pow_final(jnp.clip(out_lin, 0.0, 1.0), 1.0 / g)
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -125,11 +147,10 @@ def apply_triad_planar(
     if preserve_luma:
         ratio = jnp.clip(luma(lin) / jnp.maximum(luma(out_lin), 1e-6), 0.5, 2.0)
         out_lin = out_lin * ratio[:, None]
-    inv_g = np.float32(1.0 / g)
     if lut_exact:
-        out = jnp.power(_quantize_lut(out_lin), inv_g)
+        out = pow_final(_quantize_lut(out_lin), 1.0 / g)
     else:
-        out = jnp.power(jnp.clip(out_lin, 0.0, 1.0), inv_g)
+        out = pow_final(jnp.clip(out_lin, 0.0, 1.0), 1.0 / g)
     return jnp.clip(out, 0.0, 1.0)
 
 

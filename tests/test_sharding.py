@@ -224,3 +224,60 @@ class TestShardedPallasKernels:
         np.testing.assert_allclose(
             np.asarray(got_st), np.asarray(ref_st), atol=1e-5
         )
+
+
+class TestShardedRound4:
+    """Round-4 sharded-path features: planar layout under the mesh,
+    multi-chunk process_stack dispatch batching, and the ppermute
+    prefix-scan collective vs the all_gather form."""
+
+    def test_planar_sharded_matches_single(self, mesh):
+        frames = synth_frames(16, H, W, seed=31)
+        planar = np.ascontiguousarray(np.transpose(frames, (0, 3, 1, 2)))
+        p = EffectParams(persistence=0.7, noise_strength=0.0,
+                         scanline_strength=0.4)
+        eng = CRTEngine(p, H, W, FPS, layout="planar")
+        ref, ref_st = eng.process(planar)
+        sh = ShardedCRTEngine(eng, mesh)
+        got, got_st = sh.process(planar)
+        assert u8diff(got, ref) <= 1
+        np.testing.assert_allclose(np.asarray(got_st), np.asarray(ref_st),
+                                   atol=1e-4)
+
+    def test_process_stack_matches_sequential(self, mesh):
+        frames = synth_frames(32, H, W, seed=33)
+        p = EffectParams(persistence=0.8, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        sh = ShardedCRTEngine(eng, mesh)
+        o1, s1 = sh.process(frames[:16], np.arange(16))
+        o2, s2 = sh.process(frames[16:], np.arange(16, 32), state=s1)
+        om, sm = sh.process_stack(
+            np.stack([frames[:16], frames[16:]]),
+            np.arange(32).reshape(2, 16))
+        np.testing.assert_array_equal(np.asarray(om[0]), np.asarray(o1))
+        np.testing.assert_array_equal(np.asarray(om[1]), np.asarray(o2))
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(s2), atol=1e-6)
+
+    def test_collective_forms_agree(self, mesh, monkeypatch):
+        """ppermute prefix scan (default) vs the r3 all_gather form:
+        same math up to f32 combine order."""
+        frames = synth_frames(16, H, W, seed=35)
+        p = EffectParams(persistence=0.9, noise_strength=0.0)
+        eng = CRTEngine(p, H, W, FPS)
+        a, sa = ShardedCRTEngine(eng, mesh).process(frames)
+        monkeypatch.setenv("PCRT_SHARD_COLLECTIVE", "all_gather")
+        b, sb = ShardedCRTEngine(eng, mesh).process(frames)
+        assert u8diff(a, b) <= 1
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-5)
+
+    def test_stateless_stack_and_planar_exact(self, mesh):
+        frames = synth_frames(16, H, W, seed=37)
+        p = EffectParams(persistence=0.0, noise_strength=0.0,
+                         vignette_strength=0.3)
+        eng = CRTEngine(p, H, W, FPS)
+        ref, _ = eng.process(frames)
+        sh = ShardedCRTEngine(eng, mesh)
+        om, _ = sh.process_stack(frames.reshape(2, 8, H, W, 3),
+                                 np.arange(16).reshape(2, 8))
+        got = np.asarray(om).reshape(16, H, W, 3)
+        assert u8diff(got, ref) == 0
