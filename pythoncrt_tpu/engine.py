@@ -1201,17 +1201,27 @@ class CRTEngine:
                 from .kernels import glitch as _kg
 
                 seg_len = self.w if self.engine == "preview" else self._glitch_seg_len
+                # static |offset| bound from the static amplitude param
+                # sizes the kernel's bounded window (preview draws are
+                # CLIPPED to +-amp; export draws are |base| <= 0.4*amp
+                # plus N(0, (0.7*amp)^2) segments — 8 sigma here is a
+                # ~1e-15/draw event, and the runtime fits-cond still
+                # routes any larger draw to the full-width kernel)
+                if self.engine == "preview":
+                    bound = float(p.glitch_amp_px)
+                else:
+                    bound = 6.0 * float(p.glitch_amp_px)
                 if self.layout == "planar" and self.planar_ok:
                     # imgs stayed planar from the fused/warp chain; the
                     # glitch kernel is planar-native (no band transpose)
                     imgs = _kg.shear_band_batched_planar(
                         imgs, self._glitch_y0, seg_offs, seg_len,
-                        self._interpret, self._exact,
+                        self._interpret, self._exact, off_bound_px=bound,
                     )
                 else:
                     imgs = _kg.shear_band_batched(
                         imgs, self._glitch_y0, seg_offs, seg_len,
-                        self._interpret, self._exact,
+                        self._interpret, self._exact, off_bound_px=bound,
                     )
             else:
                 if self.engine == "preview":

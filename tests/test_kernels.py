@@ -457,6 +457,84 @@ class TestGlitchKernel:
         got = np.asarray(kglitch.shear_band_batched(imgs, y0, offs, L, interpret=True))
         np.testing.assert_array_equal(got[0, :y0], imgs[0, :y0])
 
+    def test_planar_inplace_matches_oracle(self, rng):
+        """H % 8 == 0 routes the planar entry through the in-place
+        full-frame kernel (r4): band rows match the oracle gather, and
+        every row above the band — including the 8-alignment pad rows
+        inside the first block — is BITWISE untouched."""
+        from pythoncrt_tpu.kernels import glitch as kglitch
+
+        B, H, W, L = 2, 48, 256, 16
+        imgs = rng.random((B, 3, H, W), dtype=np.float32)
+        y0 = 21  # 27 rows -> pad 5, y0p = 16 (8-aligned: in-place path)
+        rows = H - y0
+        seg_offs = rng.normal(0, 5, (B, rows, W // L)).astype(np.float32)
+        got = np.asarray(kglitch.shear_band_batched_planar(
+            imgs, y0, seg_offs, L, interpret=True))
+        seg_index = np.arange(W) // L
+        for b in range(B):
+            nhwc = np.transpose(imgs[b], (1, 2, 0))
+            want = oracle.apply_glitch_gather(
+                nhwc, y0, seg_offs[b][:, seg_index])
+            np.testing.assert_allclose(
+                np.transpose(got[b], (1, 2, 0)), want, atol=1e-5)
+            np.testing.assert_array_equal(got[b, :, :y0], imgs[b, :, :y0])
+
+    @pytest.mark.parametrize("bound,expect_clamp", [(6.0, 32), (40.0, 64),
+                                                    (100.0, 128), (999.0, 128)])
+    def test_pick_clamp_ladder(self, bound, expect_clamp):
+        """The static window half-width follows the caller's offset
+        bound (r4): smallest of {32, 64, 128} covering it, CLAMP when
+        unbounded or beyond the ladder."""
+        from pythoncrt_tpu.kernels import glitch as kglitch
+
+        assert kglitch._pick_clamp(bound) == expect_clamp
+        assert kglitch._pick_clamp(None) == kglitch.CLAMP
+
+    @pytest.mark.parametrize("clamp", [32, 64])
+    def test_planar_inplace_small_clamp(self, rng, monkeypatch, clamp):
+        """A narrow static window (off_bound from a small amp) matches
+        the oracle; draws beyond it still ride the full-width fallback
+        in-kernel (fits=0)."""
+        from pythoncrt_tpu.kernels import glitch as kglitch
+
+        monkeypatch.setenv("PCRT_GLITCH_CLAMP", str(clamp))
+        B, H, W, L = 1, 32, 256, 16
+        imgs = rng.random((B, 3, H, W), dtype=np.float32)
+        y0 = 16
+        rows = H - y0
+        seg_index = np.arange(W) // L
+        for off_scale in (clamp - 2, clamp + 3):  # window hit + fallback
+            offs = rng.uniform(-off_scale, off_scale,
+                               (B, rows, W // L)).astype(np.float32)
+            offs[0, 0, 0] = off_scale  # force the extreme
+            got = np.asarray(kglitch.shear_band_batched_planar(
+                imgs, y0, offs, L, interpret=True))
+            want = oracle.apply_glitch_gather(
+                np.transpose(imgs[0], (1, 2, 0)), y0, offs[0][:, seg_index])
+            np.testing.assert_allclose(
+                np.transpose(got[0], (1, 2, 0)), want, atol=1e-5)
+
+    @pytest.mark.parametrize("off_val", [128, 129])
+    def test_planar_inplace_window_fallback(self, rng, off_val):
+        """The in-place path keeps the bounded-window/full-width cond:
+        +-CLAMP rides the window kernel, one past routes to the
+        full-width fallback (whose % W wrap now lives inside the
+        branch) — both exact."""
+        from pythoncrt_tpu.kernels import glitch as kglitch
+
+        B, H, W, L = 1, 16, 256, 32
+        imgs = rng.random((B, 3, H, W), dtype=np.float32)
+        y0 = 8
+        offs = np.full((B, H - y0, W // L), off_val, np.float32)
+        got = np.asarray(kglitch.shear_band_batched_planar(
+            imgs, y0, offs, L, interpret=True))
+        want = oracle.apply_glitch_gather(
+            np.transpose(imgs[0], (1, 2, 0)), y0,
+            np.full(H - y0, off_val, np.float32))
+        np.testing.assert_allclose(
+            np.transpose(got[0], (1, 2, 0)), want, atol=1e-5)
+
 
 class TestBloomKernel:
     @pytest.mark.parametrize("sigma,thr", [(1.2, 0.0), (2.0, 0.4), (0.5, 0.0)])
