@@ -66,6 +66,44 @@ from .ops import warp as owarp
 from .params import EffectParams
 
 
+def _draw_normal(key, gh: int, gw: int, dt) -> jax.Array:
+    """Per-frame (gh, gw) standard-normal grain field for rng="native".
+
+    Default: jax.random.normal (erfinv transform — XLA lowers it to a
+    log1p + two 9-term polynomial branches per element; measured 63.6
+    us/f on c4's full-res field, 13.5% of the step).
+
+    PCRT_NORMAL_IMPL=bm: paired Box-Muller — one (gh, gw/2) uniform
+    pair makes TWO normals (z1 = r*cos(2*pi*u2), z2 = r*sin(2*pi*u2),
+    r = sqrt(-2*ln(u1))), halving the transcendental work per element;
+    the halves land side-by-side (iid, so any fixed arrangement is a
+    valid field). Exact N(0,1) by construction — distribution-legal for
+    rng="native" exactly like the threefry/rbg choice (PARITY.md: the
+    native stream never promises the reference's numpy draws, only the
+    distribution; parity tests feed the SAME field to engine and
+    oracle). Keyed per frame (fold_in upstream), elementwise after the
+    draw, so batch-shape/resume invariance is automatic
+    (test_native_rng_resume_invariant covers both impls).
+
+    MEASURED SLOWER on-chip (c4 full-res grain, the best case for it:
+    1771.1 vs 1906.0 fps, r4 A/B) — the halves concatenate, the second
+    uniform draw, and the cos/sin lowering cost more than erfinv's
+    log1p + poly9. Stays an A/B knob; erfinv stays the default.
+    """
+    if os.environ.get("PCRT_NORMAL_IMPL") == "bm":
+        k1, k2 = jax.random.split(key)
+        hw = (gw + 1) // 2
+        tiny = np.float32(np.finfo(np.float32).tiny)
+        u1 = jax.random.uniform(k1, (gh, hw), jnp.float32, minval=tiny)
+        u2 = jax.random.uniform(k2, (gh, hw), jnp.float32)
+        r = jnp.sqrt(np.float32(-2.0) * jnp.log(u1))
+        th = np.float32(2.0 * np.pi) * u2
+        field = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=1)
+        field = field[:, :gw]
+        return field.astype(dt).astype(jnp.float32)
+    return jax.random.normal(key, (gh, gw), dt).astype(jnp.float32)
+
+
 class FrameAux(NamedTuple):
     """Per-frame dynamic inputs (each leaf has a leading batch axis)."""
 
@@ -927,9 +965,7 @@ class CRTEngine:
             # the box-muller transform is), so it stays opt-in/A/B.
             dt = (jnp.bfloat16 if os.environ.get("PCRT_GRAIN_DRAW") == "bf16"
                   else jnp.float32)
-            field = jax.random.normal(
-                jax.random.fold_in(key, 11), (gh, gw), dt
-            ).astype(jnp.float32)
+            field = _draw_normal(jax.random.fold_in(key, 11), gh, gw, dt)
         else:
             field = noise
         if p.grain_size > 1:

@@ -195,12 +195,17 @@ def test_native_rng_deterministic(frames_small):
     assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
-def test_native_rng_resume_invariant(frames_small):
+@pytest.mark.parametrize("normal_impl", ["erfinv", "bm"])
+def test_native_rng_resume_invariant(frames_small, monkeypatch, normal_impl):
     """Native-mode draws key on the ABSOLUTE frame index (fold_in of
     frame_idx), so a mid-stream restart — the segment-resume shape —
     reproduces the same bytes as a straight run. This is the property
     that makes the round-4 default rbg impl resume-safe within one
-    jaxlib version (engine._base_key); it must hold for any impl."""
+    jaxlib version (engine._base_key); it must hold for any impl —
+    including the r4 Box-Muller normal transform (PCRT_NORMAL_IMPL=bm,
+    engine._draw_normal), whose split/elementwise form is keyed the
+    same way."""
+    monkeypatch.setenv("PCRT_NORMAL_IMPL", normal_impl)
     p = identity_params(noise_strength=10.0, persistence=0.4,
                         glitch_amp_px=4, glitch_height_frac=0.3)
     eng = CRTEngine(p, H, W, FPS, rng="native", seed=7)
