@@ -1574,9 +1574,11 @@ class CRTEngine:
             frame_indices = np.arange(b)
         aux = self.make_aux(np.asarray(frame_indices))
         first = state is None
+        state_exp = ((3, self.h, self.w) if self.layout == "planar"
+                     else (self.h, self.w, 3))
         if first:
             state = self.init_state()
-        elif jnp.asarray(state).shape != self.init_state().shape:
+        elif tuple(jnp.asarray(state).shape) != state_exp:
             # Stated deviation (PARITY.md): the reference bilinearly
             # resizes a shape-mismatched persistence carry mid-stream
             # (crt_filter.py:689-693 — a GUI-preview situation where the
@@ -1584,9 +1586,11 @@ class CRTEngine:
             # engine compiles for ONE static shape, so it refuses
             # instead; the GUI preview path renders through the oracle,
             # which implements the resize-blend (oracle.persistence_blend).
+            # (Static tuple compare — an init_state() call here would
+            # allocate a full device zeros per steady-state batch.)
             raise ValueError(
                 f"persistence state shape {jnp.asarray(state).shape} != "
-                f"{self.init_state().shape}: CRTEngine does not resize a "
+                f"{state_exp}: CRTEngine does not resize a "
                 "mid-stream carry (documented deviation, PARITY.md; the "
                 "oracle/GUI preview path does)")
         return self._jstep(

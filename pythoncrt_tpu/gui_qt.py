@@ -115,25 +115,41 @@ def _preview_engine_mode() -> bool:
         return False
 
 
+_PREVIEW_BUILD_FAILED = object()  # negative-cache sentinel
+
+
 def _get_preview_engine(p: EffectParams, pw: int, ph: int):
     import dataclasses
 
-    key = (repr(dataclasses.asdict(p)), pw, ph)
-    eng = _PREVIEW_ENGINES.get(key)
-    if eng is None:
-        from .engine import CRTEngine
+    # persistence stays on the HOST side (oracle.persistence_blend):
+    # the preview blends/carries across arbitrary wall-clock ticks
+    # and size changes (crt_filter.py:689-693), which the static-
+    # shape compiled step deliberately refuses (PARITY.md).
+    # The cache keys on the persistence-ZEROED params: the compiled
+    # engine is persistence-independent, so persistence-slider moves
+    # must be cache hits, not recompiles.
+    pe = dataclasses.replace(p, persistence=0.0)
+    key = (repr(dataclasses.asdict(pe)), pw, ph)
+    if key in _PREVIEW_ENGINES:
+        # LRU refresh: move the hit to the back (plain dicts preserve
+        # insertion order; pop+reinsert is the move_to_end)
+        eng = _PREVIEW_ENGINES.pop(key)
+        _PREVIEW_ENGINES[key] = eng
+        return None if eng is _PREVIEW_BUILD_FAILED else eng
+    from .engine import CRTEngine
 
-        # persistence stays on the HOST side (oracle.persistence_blend):
-        # the preview blends/carries across arbitrary wall-clock ticks
-        # and size changes (crt_filter.py:689-693), which the static-
-        # shape compiled step deliberately refuses (PARITY.md)
-        pe = dataclasses.replace(p, persistence=0.0)
+    try:
         eng = CRTEngine(pe, ph, pw, fps=30.0, engine="preview", rng="host",
                         text_rgba=overlay_for(pw, ph, p.text))
-        if len(_PREVIEW_ENGINES) >= _PREVIEW_ENGINES_MAX:
-            _PREVIEW_ENGINES.pop(next(iter(_PREVIEW_ENGINES)))
-        _PREVIEW_ENGINES[key] = eng
-    return eng
+    except Exception:
+        # negative-cache the failure: without it every ~30 fps preview
+        # tick would retry the full (seconds-long) build before falling
+        # back to the oracle, degrading below the oracle-only rate
+        eng = _PREVIEW_BUILD_FAILED
+    if len(_PREVIEW_ENGINES) >= _PREVIEW_ENGINES_MAX:
+        _PREVIEW_ENGINES.pop(next(iter(_PREVIEW_ENGINES)))
+    _PREVIEW_ENGINES[key] = eng
+    return None if eng is _PREVIEW_BUILD_FAILED else eng
 
 
 def render_preview_frame(
@@ -176,10 +192,11 @@ def render_preview_frame(
     if use_engine:
         try:
             eng = _get_preview_engine(p, pw, ph)
-            out, _ = eng.process_at(
-                frame[None], np.asarray([t], np.float64),
-                None if noise is None else noise[None])
-            img = np.asarray(out[0]).astype(np.float32) / 255.0
+            if eng is not None:
+                out, _ = eng.process_at(
+                    frame[None], np.asarray([t], np.float64),
+                    None if noise is None else noise[None])
+                img = np.asarray(out[0]).astype(np.float32) / 255.0
         except Exception:
             img = None  # oracle fallback below
     if img is None:

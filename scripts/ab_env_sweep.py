@@ -28,6 +28,10 @@ def main():
     p = config_params(cfg)
     for variant in sys.argv[1:] or [""]:
         pairs = [kv.split("=", 1) for kv in variant.split() if kv]
+        # restore (not delete) ambient values afterwards, so a shell
+        # that already exports one of the knobs keeps its baseline for
+        # later variants
+        saved = {k: os.environ.get(k) for k, _ in pairs}
         for k, v in pairs:
             os.environ[k] = v
         try:
@@ -35,8 +39,11 @@ def main():
             print(f"{cfg} [{variant or 'default'}]: {fps:.1f} fps "
                   f"(compile {cs:.1f}s)", flush=True)
         finally:
-            for k, _ in pairs:
-                os.environ.pop(k, None)
+            for k, old in saved.items():
+                if old is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = old
 
 
 if __name__ == "__main__":

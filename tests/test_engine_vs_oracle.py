@@ -200,9 +200,11 @@ def test_native_rng_resume_invariant(frames_small, monkeypatch, normal_impl):
     """Native-mode draws key on the ABSOLUTE frame index (fold_in of
     frame_idx), so a mid-stream restart — the segment-resume shape —
     reproduces the same bytes as a straight run. This is the property
-    that makes the round-4 default rbg impl resume-safe within one
-    jaxlib version (engine._base_key); it must hold for any impl —
-    including the r4 Box-Muller normal transform (PCRT_NORMAL_IMPL=bm,
+    the opt-in rbg impl FAILS (vmapped rbg draws depend on the batched
+    call shape — running this test under PCRT_RNG_IMPL=rbg shows ~32%
+    pixel mismatch, which is exactly why threefry stays the default,
+    ROADMAP.md); it must hold for any shipped impl — including the r4
+    Box-Muller normal transform (PCRT_NORMAL_IMPL=bm,
     engine._draw_normal), whose split/elementwise form is keyed the
     same way."""
     monkeypatch.setenv("PCRT_NORMAL_IMPL", normal_impl)

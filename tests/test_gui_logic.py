@@ -193,6 +193,62 @@ class TestEnginePreview:
         ref, _ = render_preview_frame(frame, p, t=0.3, use_engine=False)
         np.testing.assert_array_equal(got, ref)
 
+    def test_persistence_slider_is_a_cache_hit(self):
+        """The compiled preview engine is persistence-independent
+        (persistence blends host-side), so the cache keys on the
+        persistence-ZEROED params — dragging the persistence slider
+        must never rebuild/evict (each build costs seconds live)."""
+        import dataclasses
+
+        from pythoncrt_tpu import gui_qt
+
+        gui_qt._PREVIEW_ENGINES.clear()
+        p = EffectParams(noise_strength=0.0, persistence=0.2)
+        e1 = gui_qt._get_preview_engine(p, 64, 48)
+        for v in (0.25, 0.5, 0.95):
+            p2 = dataclasses.replace(p, persistence=v)
+            assert gui_qt._get_preview_engine(p2, 64, 48) is e1
+        assert len(gui_qt._PREVIEW_ENGINES) == 1
+
+    def test_engine_build_failure_is_negative_cached(self, monkeypatch):
+        """A preset whose engine build fails must not retry the
+        (seconds-long) build on every preview tick: the failure is
+        cached and _get_preview_engine returns None (oracle path)."""
+        from pythoncrt_tpu import engine as eng_mod
+        from pythoncrt_tpu import gui_qt
+
+        gui_qt._PREVIEW_ENGINES.clear()
+        calls = []
+
+        def boom(*a, **k):
+            calls.append(1)
+            raise RuntimeError("build failed")
+
+        monkeypatch.setattr(eng_mod, "CRTEngine", boom)
+        p = EffectParams(noise_strength=0.0, persistence=0.0)
+        assert gui_qt._get_preview_engine(p, 64, 48) is None
+        assert gui_qt._get_preview_engine(p, 64, 48) is None
+        assert len(calls) == 1
+        gui_qt._PREVIEW_ENGINES.clear()
+
+    def test_engine_cache_is_lru_not_fifo(self):
+        """A cache hit refreshes recency: cycling presets must evict
+        the least-recently-USED engine, not the oldest-inserted."""
+        from pythoncrt_tpu import gui_qt
+
+        gui_qt._PREVIEW_ENGINES.clear()
+        hot = EffectParams(noise_strength=0.0, persistence=0.0)
+        e_hot = gui_qt._get_preview_engine(hot, 64, 48)
+        for i in range(gui_qt._PREVIEW_ENGINES_MAX - 1):
+            gui_qt._get_preview_engine(
+                EffectParams(scanline_strength=0.1 * (i + 1),
+                             noise_strength=0.0), 64, 48)
+        # touch the hot entry, then insert one more (forces an eviction)
+        assert gui_qt._get_preview_engine(hot, 64, 48) is e_hot
+        gui_qt._get_preview_engine(
+            EffectParams(vignette_strength=0.4, noise_strength=0.0), 64, 48)
+        assert gui_qt._get_preview_engine(hot, 64, 48) is e_hot  # survived
+
 
 class TestControlWiring:
     """The declarative widget<->EffectParams table (gui_qt.EFFECT_CONTROLS)
