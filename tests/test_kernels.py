@@ -217,6 +217,34 @@ def test_warp_zero_strength_identityish(rng):
     np.testing.assert_allclose(got[0], imgs[0], atol=2e-5)
 
 
+def test_warp_zero_fill_class(rng):
+    """Round-4 zero-fill class: tiles whose every output pixel has both
+    x- or both y-taps out of frame (the warp's black corners) go through
+    a dedicated no-DMA/no-MAC fill kernel. Asserts the class actually
+    ENGAGES at this shape (otherwise the test silently covers nothing)
+    and that dead tiles are exact 0.0 while the whole frame still
+    matches the oracle."""
+    h2, w2 = 64, 512  # strength 1.0 here yields 4 fully-dead tiles
+    imgs = rng.random((2, h2, w2, 3), dtype=np.float32)
+    tables = kwarp.build_warp_tables(h2, w2, 1.0)
+    # replicate warp_nhwc's liveness predicate (warp.py tile_alive)
+    alive_px = (((tables.wx0 > 0) | (tables.wx1 > 0))
+                & ((tables.wy0 > 0) | (tables.wy1 > 0)))
+    yt, xt = h2 // kwarp.TY, w2 // kwarp.TX
+    tile_alive = np.asarray(
+        alive_px.reshape(yt, kwarp.TY, xt, kwarp.TX).any(axis=(1, 3)))
+    assert (~tile_alive).sum() >= 4, "fill class did not engage"
+    got = np.asarray(kwarp.warp_nhwc(imgs, tables, interpret=True))
+    map_x, map_y = oracle.barrel_warp_maps(h2, w2, 1.0)
+    for b in range(2):
+        want = oracle.ops.remap_bilinear_const0(imgs[b], map_x, map_y)
+        assert np.abs(got[b] - want).max() < 2e-5
+        for i, j in zip(*np.nonzero(~tile_alive)):
+            tile = got[b][i * kwarp.TY:(i + 1) * kwarp.TY,
+                          j * kwarp.TX:(j + 1) * kwarp.TX]
+            np.testing.assert_array_equal(tile, 0.0)
+
+
 class TestBloom3Kernel:
     """The exact fused gaussian stripe kernel: same f32 op sequence as
     the engine's XLA path. Tolerance is 1 ulp, not bit-equality: the
@@ -720,3 +748,41 @@ def test_resize2x_roll_matches_oracle_bitwise(rng):
             jnp.asarray((1.0 - xf).reshape(1, w)),
             jnp.asarray(xf.reshape(1, w))))
         np.testing.assert_array_equal(got, want, err_msg=f"{gh}x{gw}")
+
+
+class TestPowFinal:
+    """ops/color.pow_final — the r4 final-triad-site explog pow.
+
+    The default explog form ships ONLY at the site after the last LUT
+    quantize (ops/color.py:18-36); these tests pin the knob semantics
+    and the error class that makes that site safe."""
+
+    def test_knob_off_is_bitwise_jnp_power(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from pythoncrt_tpu.ops import color as ocolor
+
+        monkeypatch.setenv("PCRT_POW_EXPLOG", "0")
+        x = jnp.asarray(rng.random((64, 128), dtype=np.float32))
+        got = np.asarray(ocolor.pow_final(x, 1.0 / 2.2))
+        want = np.asarray(jnp.power(x, np.float32(1.0 / 2.2)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_explog_error_class_and_limits(self, rng, monkeypatch):
+        """Default explog: exact at the x=0 and x=1 limits (log2(0) =
+        -inf -> exp2 -> 0; log2(1) = 0 -> exp2 -> 1) and within the
+        ~1e-4-relative class elsewhere — under half the 1-LSB budget
+        this post-quantize site carries (0.5/255 ~ 2e-3)."""
+        import jax.numpy as jnp
+
+        from pythoncrt_tpu.ops import color as ocolor
+
+        monkeypatch.delenv("PCRT_POW_EXPLOG", raising=False)
+        e = 1.0 / 2.2
+        lim = np.asarray(ocolor.pow_final(jnp.asarray([0.0, 1.0]), e))
+        np.testing.assert_array_equal(lim, [0.0, 1.0])
+        x = rng.random((256,), dtype=np.float32) * 0.999 + 1e-4
+        got = np.asarray(ocolor.pow_final(jnp.asarray(x), e))
+        want = np.power(x.astype(np.float64), e)
+        rel = np.abs(got - want) / want
+        assert rel.max() < 5e-4
