@@ -121,3 +121,16 @@ def test_planar_shape_check():
             synth_frames(B, H, W, seed=0))
     with pytest.raises(ValueError):
         CRTEngine(identity_params(**FULL), H, W, FPS, layout="bogus")
+
+
+def test_planar_mismatched_state_rejected():
+    """The layout-dependent state-shape guard (engine.process): a
+    planar engine expects a (3, H, W) carry and must refuse an
+    NHWC-shaped one (same documented-deviation refusal as NHWC,
+    PARITY.md — never a silent transpose)."""
+    p = identity_params(**CASES["with_persistence"][0])
+    eng_p = build(p, layout="planar")
+    pf = np.transpose(synth_frames(B, H, W, seed=13), (0, 3, 1, 2))
+    with pytest.raises(ValueError, match="documented deviation"):
+        eng_p.process(pf, np.arange(B),
+                      state=np.zeros((H, W, 3), np.float32))
