@@ -49,6 +49,23 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = FRAME_AXIS) -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def _aux_present(engine: CRTEngine, field: str) -> bool:
+    """Whether engine.make_aux populates the given host-rng FrameAux
+    field (the sharding specs must mirror make_aux's Nones exactly)."""
+    p = engine.params
+    if engine.rng != "host":
+        return False
+    if field == "noise":
+        return p.noise_on
+    if field == "glitch_base":
+        return p.glitch_on and engine._glitch_rows > 0
+    if field == "glitch_seg":
+        return (
+            p.glitch_on and engine._glitch_rows > 0 and engine.engine == "export"
+        )
+    return False
+
+
 class ShardedCRTEngine:
     """Frame-axis data-parallel wrapper around a CRTEngine.
 
@@ -257,18 +274,7 @@ class ShardedCRTEngine:
         )
 
     def _aux_has(self, field: str) -> bool:
-        eng, p = self.engine, self.engine.params
-        if eng.rng != "host":
-            return False
-        if field == "noise":
-            return p.noise_on
-        if field == "glitch_base":
-            return p.glitch_on and eng._glitch_rows > 0
-        if field == "glitch_seg":
-            return (
-                p.glitch_on and eng._glitch_rows > 0 and eng.engine == "export"
-            )
-        return False
+        return _aux_present(self.engine, field)
 
     def process(self, frames_u8, frame_indices=None, state=None):
         frames_u8 = jnp.asarray(frames_u8)
@@ -317,17 +323,28 @@ class MultiClipEngine:
     group, no collectives (BASELINE.json config 5).
 
     process(frames (C, B, H, W, 3), indices (C, B), states (C, H, W, 3))
+    — or (C, B, 3, H, W) / (C, 3, H, W) when the engine was built with
+    layout="planar" (round 5: the clip-sharded path accepts the planar
+    layout that won c4, including the in-place glitch + planar persist).
+
+    rng="host" is supported (round 5): every host-rng aux field is a
+    pure function of the frame index (engine.make_aux seeds each frame's
+    noise as (seed, index) and derives the glitch fields from the
+    frame's phase — engine.py make_aux), so clips sharing frame indices
+    draw IDENTICAL streams — exactly what N independent single-clip
+    renders with the same seed produce. The aux shards clip-major like
+    the frames.
     """
 
     def __init__(self, engine: CRTEngine, mesh: Optional[Mesh] = None) -> None:
         self.engine = engine
         self.mesh = mesh if mesh is not None else make_mesh(axis=CLIP_AXIS)
         self.ndev = self.mesh.devices.size
-        if engine.rng == "host" and (engine.params.noise_on or engine.params.glitch_on):
-            raise ValueError("MultiClipEngine supports rng='native' only")
         axis = CLIP_AXIS
+        planar = engine.layout == "planar" and engine.planar_ok
+        edge_convert = engine.layout == "planar" and not engine.planar_ok
 
-        def per_shard(flat, aux, states, first_arr, c):
+        def core(flat, aux, states, first_arr, c):
             # Frames arrive FLAT and clip-major (C*B, H, W, 3): sharding
             # the leading axis hands each device exactly its clips'
             # frames, and — crucially — the jitted body performs NO
@@ -342,11 +359,24 @@ class MultiClipEngine:
             b = flat.shape[0] // cl
             if engine._pallas_persist:
                 # One pallas launch walks all clips' frames with
-                # per-clip carry resets at the (static) clip boundaries;
-                # planar flatten + fused uint8 emit via the shared
-                # layout-contract wrapper.
+                # per-clip carry resets at the (static) clip boundaries
+                # + fused uint8 emit.
                 from ..kernels import persist as _kp
 
+                if planar:
+                    # the planar (B, 3H, W) flatten is a FREE view of
+                    # the planar batch — same contract as CRTEngine.
+                    # _finish's planar branch, extended with per-clip
+                    # carries
+                    h, w = engine.h, engine.w
+                    outs, ns = _kp.persistence_scan(
+                        imgs.reshape(cl * b, 3 * h, w), None, first_arr,
+                        engine.params.persistence, engine._interpret,
+                        emit_u8=True,
+                        clip_states=states.reshape(cl, 3 * h, w),
+                    )
+                    return (outs.reshape(imgs.shape),
+                            ns.reshape(states.shape))
                 return _kp.persistence_scan_nhwc(
                     imgs, None, first_arr, engine.params.persistence,
                     engine._interpret, clip_states=states,
@@ -358,6 +388,20 @@ class MultiClipEngine:
             )(imgs, states)
             return outs.reshape((cl * b,) + outs.shape[2:]), new_states
 
+        def per_shard(flat, aux, states, first_arr, c):
+            if edge_convert:
+                # mirror CRTEngine._step's planar fallback (glitch-XLA /
+                # text-after configs): convert to NHWC at the shard
+                # edges, run the NHWC core, convert back
+                pc = np.array(engine._plane_colors)
+                inv = np.argsort(pc)
+                flat = jnp.transpose(flat, (0, 2, 3, 1))[..., inv]
+                states = jnp.transpose(states, (0, 2, 3, 1))[..., inv]
+                out, ns = core(flat, aux, states, first_arr, c)
+                return (jnp.transpose(out[..., pc], (0, 3, 1, 2)),
+                        jnp.transpose(ns[..., pc], (0, 3, 1, 2)))
+            return core(flat, aux, states, first_arr, c)
+
         if self.ndev == 1:
             # single visible device: shard_map's full-to-shard boundary
             # custom-calls pin operand layouts and provoke full-frame
@@ -366,12 +410,18 @@ class MultiClipEngine:
             # directly; multi-device meshes keep the sharded wrapper.
             body = per_shard
         else:
+            def aux_spec(field):
+                # host-rng fields shard clip-major like the frames
+                # (frame-index-keyed streams; see class docstring)
+                return P(axis) if self._aux_has(field) else None
+
             body = jax.shard_map(
                 per_shard,
                 mesh=self.mesh,
                 in_specs=(
                     P(axis),  # flat frames, clip-major
-                    FrameAux(P(axis), P(axis), P(axis), None, None, None),
+                    FrameAux(P(axis), P(axis), P(axis), aux_spec("noise"),
+                             aux_spec("glitch_base"), aux_spec("glitch_seg")),
                     P(axis),  # per-clip states
                     P(),  # first flag (replicated)
                     jax.tree.map(lambda _: P(), engine._c),
@@ -397,9 +447,21 @@ class MultiClipEngine:
 
         self._mstep = jax.jit(multi)
 
+    def _aux_has(self, field: str) -> bool:
+        return _aux_present(self.engine, field)
+
+    def _check_frame_shape(self, frame_dims) -> None:
+        eng = self.engine
+        exp = (3, eng.h, eng.w) if eng.layout == "planar" else (eng.h, eng.w, 3)
+        if tuple(frame_dims) != exp:
+            raise ValueError(
+                f"frame shape {tuple(frame_dims)} does not match engine "
+                f"layout={eng.layout!r} (expected {exp})")
+
     def process(self, frames_u8, frame_indices, states=None):
         frames_u8 = jnp.asarray(frames_u8)
         c, b = frames_u8.shape[0], frames_u8.shape[1]
+        self._check_frame_shape(frames_u8.shape[2:])
         if c % self.ndev != 0:
             raise ValueError(f"clip count {c} not divisible by mesh size {self.ndev}")
         idx = np.asarray(frame_indices)
@@ -431,6 +493,7 @@ class MultiClipEngine:
         """
         frames_stack = jnp.asarray(frames_stack)
         n, c, b = frames_stack.shape[:3]
+        self._check_frame_shape(frames_stack.shape[3:])
         if c % self.ndev != 0:
             raise ValueError(f"clip count {c} not divisible by mesh size {self.ndev}")
         idx = np.asarray(frame_indices).reshape(n, c * b)

@@ -133,11 +133,22 @@ class TestClipSharding:
             ref, _ = eng.process(clips[i], np.arange(8), state=None)
             assert u8diff(got[i], ref) <= 1
 
-    def test_rejects_host_rng(self):
+    def test_host_rng_matches_independent_renders(self):
+        """rng='host' through the clip-sharded engine (lifted in round 5):
+        every host-rng aux field is frame-index keyed, so clips sharing
+        frame indices draw the same streams as N independent renders."""
         mesh = make_mesh(8, axis="clips")
-        eng = CRTEngine(EffectParams(), H, W, FPS, rng="host")
-        with pytest.raises(ValueError):
-            MultiClipEngine(eng, mesh)
+        p = EffectParams(persistence=0.5, noise_strength=6.0,
+                         glitch_amp_px=4, glitch_height_frac=0.4,
+                         scanline_speed_px_s=45.0)
+        eng = CRTEngine(p, H, W, FPS, rng="host")
+        clips = np.stack([synth_frames(4, H, W, seed=80 + i) for i in range(8)])
+        idx = np.tile(np.arange(4), (8, 1))
+        mc = MultiClipEngine(eng, mesh)
+        got = np.asarray(mc.process(clips, idx)[0])
+        for i in range(8):
+            ref, _ = eng.process(clips[i], np.arange(4), state=None)
+            assert u8diff(got[i], ref) == 0
 
     def test_process_stack_matches_sequential(self):
         """MultiClipEngine.process_stack (n clip-batches scanned in one
@@ -154,6 +165,89 @@ class TestClipSharding:
         stack = np.stack([clips[:, :4], clips[:, 4:]])
         idx = np.stack([np.tile(np.arange(4), (8, 1)),
                         np.tile(np.arange(4, 8), (8, 1))])
+        om, stm = mc.process_stack(stack, idx)
+        np.testing.assert_array_equal(np.asarray(om[0]), np.asarray(o1))
+        np.testing.assert_array_equal(np.asarray(om[1]), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(stm), np.asarray(st2))
+
+
+class TestMultiClipLayout:
+    """Round 5: MultiClipEngine is layout-complete — the planar layout
+    (the in-place glitch + planar persist that won c4) runs under the
+    clip mesh, the edge-conversion fallback covers planar-not-ok
+    configs, and mis-shaped inputs are rejected instead of silently
+    mis-processed."""
+
+    def _clip_engines(self, overrides, n=8, hh=48, ww=256):
+        from test_engine_vs_oracle import identity_params
+
+        p = identity_params(**overrides)
+        kw = dict(rng="host", interpret=True, pallas="on")
+        eng_n = CRTEngine(p, hh, ww, FPS, **kw)
+        eng_p = CRTEngine(p, hh, ww, FPS, layout="planar", **kw)
+        clips = np.stack([synth_frames(4, hh, ww, seed=90 + i)
+                          for i in range(n)])
+        idx = np.tile(np.arange(4), (n, 1))
+        return eng_n, eng_p, clips, idx
+
+    def _planar_mc_matches_nhwc(self, overrides):
+        from test_fused import CASES
+
+        eng_n, eng_p, clips, idx = self._clip_engines(CASES[overrides][0])
+        mesh = make_mesh(8, axis="clips")
+        ref, ref_st = MultiClipEngine(eng_n, mesh).process(clips, idx)
+        pc = np.ascontiguousarray(np.transpose(clips, (0, 1, 4, 2, 3)))
+        got, got_st = MultiClipEngine(eng_p, mesh).process(pc, idx)
+        got = np.transpose(np.asarray(got), (0, 1, 3, 4, 2))
+        got_st = np.transpose(np.asarray(got_st), (0, 2, 3, 1))
+        np.testing.assert_array_equal(got, np.asarray(ref))
+        np.testing.assert_array_equal(got_st, np.asarray(ref_st))
+
+    def test_planar_persist_matches_nhwc(self):
+        # planar fast path incl. the flat-batch multi-clip persist kernel
+        eng_n, eng_p, _, _ = self._clip_engines(
+            {"persistence": 0.5, "scanline_strength": 0.6,
+             "bloom_strength": 0.25, "bloom_sigma": 1.2,
+             "fast_bloom": False, "warp_strength": 0.15})
+        assert eng_p.planar_ok and eng_p._pallas_persist
+        self._planar_mc_matches_nhwc("with_persistence")
+
+    def test_planar_glitch_matches_nhwc(self):
+        self._planar_mc_matches_nhwc("with_glitch")
+
+    def test_planar_edge_convert_matches_nhwc(self):
+        # 2-D scanlines: outside the fused envelope -> planar_ok False,
+        # the shard-edge NHWC conversion path must still be bitwise
+        from test_fused import CASES
+
+        eng_n, eng_p, clips, idx = self._clip_engines(CASES["scan_2d"][0])
+        assert not eng_p.planar_ok
+        self._planar_mc_matches_nhwc("scan_2d")
+
+    def test_rejects_mismatched_layout_shape(self):
+        eng_n, eng_p, clips, idx = self._clip_engines(
+            {"persistence": 0.5, "scanline_strength": 0.6})
+        mesh = make_mesh(8, axis="clips")
+        mc = MultiClipEngine(eng_p, mesh)
+        with pytest.raises(ValueError, match="layout"):
+            mc.process(clips, idx)  # NHWC-shaped clips, planar engine
+        mcn = MultiClipEngine(eng_n, mesh)
+        with pytest.raises(ValueError, match="layout"):
+            mcn.process(np.transpose(clips, (0, 1, 4, 2, 3)), idx)
+
+    def test_planar_process_stack_matches_sequential(self):
+        from test_fused import CASES
+
+        _, eng_p, clips, _ = self._clip_engines(CASES["with_persistence"][0])
+        mesh = make_mesh(8, axis="clips")
+        mc = MultiClipEngine(eng_p, mesh)
+        pc = np.ascontiguousarray(np.transpose(clips, (0, 1, 4, 2, 3)))
+        o1, st = mc.process(pc[:, :2], np.tile(np.arange(2), (8, 1)))
+        o2, st2 = mc.process(pc[:, 2:], np.tile(np.arange(2, 4), (8, 1)),
+                             states=st)
+        stack = np.stack([pc[:, :2], pc[:, 2:]])
+        idx = np.stack([np.tile(np.arange(2), (8, 1)),
+                        np.tile(np.arange(2, 4), (8, 1))])
         om, stm = mc.process_stack(stack, idx)
         np.testing.assert_array_equal(np.asarray(om[0]), np.asarray(o1))
         np.testing.assert_array_equal(np.asarray(om[1]), np.asarray(o2))
