@@ -24,4 +24,6 @@ def __getattr__(name):
         return importlib.import_module(".oracle", __name__)
     if name == "process_video":
         return getattr(importlib.import_module(".pipeline", __name__), name)
+    if name == "process_videos":
+        return getattr(importlib.import_module(".multiclip", __name__), name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

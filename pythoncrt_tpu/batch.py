@@ -74,6 +74,32 @@ class RenderJournal:
         self._done.add((str(job.input_path), str(job.output_path)))
 
 
+# process_video kwargs that the clip-sharded group path also accepts;
+# a job carrying anything else (segment_frames, decode_workers, ...)
+# renders through the per-clip sequential path instead
+MULTI_CLIP_KWARGS = frozenset({
+    "crf", "target_bitrate_kbps", "gpu", "nvenc_preset",
+    "encoder_preference", "decoder_preference", "batch_size",
+    "engine_mode", "rng", "seed", "precision", "pipe_format",
+    "devices", "steps_per_call",
+})
+
+
+def _group_key(job: ClipJob) -> str:
+    """Signature under which jobs can share one compiled clip-sharded
+    step: identical params + output geometry + render kwargs."""
+    import dataclasses
+
+    return json.dumps(
+        {
+            "p": dataclasses.asdict(job.params.clamped()),
+            "w": job.width, "h": job.height, "fps": job.fps,
+            "kw": job.kwargs,
+        },
+        sort_keys=True, default=str,
+    )
+
+
 def render_batch(
     jobs: Sequence[ClipJob],
     *,
@@ -81,20 +107,91 @@ def render_batch(
     max_retries: int = 1,
     progress_cb=None,
     process_fn=None,
+    sharded: bool = True,
+    process_videos_fn=None,
 ) -> list[ClipResult]:
-    """Render clips sequentially on this host's chip(s), with per-clip
-    retry and journal-based resume. (For one-host-per-chip fleets, run
-    one render_batch per host over its shard of the job list; clips are
-    independent streams — SURVEY.md §2.3.)"""
+    """Render a batch of clips with per-clip retry and journal resume.
+
+    sharded=True (default) groups jobs that share (params, size, fps,
+    kwargs) and renders each group in lockstep through the clip-sharded
+    engine (multiclip.process_videos — N decoders -> MultiClipEngine ->
+    N encoders, BASELINE.json config 5). Heterogeneous jobs, groups of
+    one, and clips that fail inside a group render fall back to the
+    sequential per-clip path (with its retries), so one bad clip never
+    kills the batch. Injecting process_fn (tests) disables grouping
+    unless process_videos_fn is also injected.
+
+    (For one-host-per-chip fleets, run one render_batch per host over
+    its shard of the job list; clips are independent streams —
+    SURVEY.md §2.3.)"""
+    injected = process_fn is not None
     if process_fn is None:
         from .pipeline import process_video as process_fn  # noqa: F811
+    if sharded and process_videos_fn is None and not injected:
+        from .multiclip import process_videos as process_videos_fn  # noqa: F811
 
     jr = RenderJournal(journal) if journal else None
-    results: list[ClipResult] = []
+    n = len(jobs)
+    results: list[Optional[ClipResult]] = [None] * n
+    done_ct = 0
+
+    def bump() -> None:
+        nonlocal done_ct
+        done_ct += 1
+        if progress_cb is not None:
+            progress_cb(done_ct / n)
+
+    pending: list[int] = []
     for i, job in enumerate(jobs):
         if jr is not None and jr.is_done(job):
-            results.append(ClipResult(job, ok=True, seconds=0.0, skipped=True))
-            continue
+            results[i] = ClipResult(job, ok=True, seconds=0.0, skipped=True)
+            bump()
+        else:
+            pending.append(i)
+
+    seq = list(pending)
+    if sharded and process_videos_fn is not None and len(pending) > 1:
+        groups: dict[str, list[int]] = {}
+        for i in pending:
+            if set(jobs[i].kwargs) <= MULTI_CLIP_KWARGS:
+                groups.setdefault(_group_key(jobs[i]), []).append(i)
+        seq = []
+        handled: set[int] = set()
+        for i in pending:
+            if i in handled:
+                continue
+            grp = (groups.get(_group_key(jobs[i]), [i])
+                   if set(jobs[i].kwargs) <= MULTI_CLIP_KWARGS else [i])
+            handled.update(grp)
+            if len(grp) < 2:
+                seq.append(i)
+                continue
+            t0 = time.perf_counter()
+            try:
+                j0 = jobs[grp[0]]
+                rs = process_videos_fn(
+                    [jobs[g].input_path for g in grp],
+                    [jobs[g].output_path for g in grp],
+                    j0.params, width=j0.width, height=j0.height,
+                    fps=j0.fps, report=False, **j0.kwargs,
+                )
+            except Exception:
+                # group-level failure (e.g. mismatched source sizes with
+                # no explicit output size): each clip retries alone
+                seq.extend(grp)
+                continue
+            per = (time.perf_counter() - t0) / max(1, len(grp))
+            for g, r in zip(grp, rs):
+                if r.ok:
+                    if jr is not None:
+                        jr.mark_done(jobs[g], per)
+                    results[g] = ClipResult(jobs[g], ok=True, seconds=per)
+                    bump()
+                else:
+                    seq.append(g)  # per-clip retry on the sequential path
+
+    for i in sorted(seq):
+        job = jobs[i]
         t0 = time.perf_counter()
         err = ""
         ok = False
@@ -112,7 +209,6 @@ def render_batch(
         dt = time.perf_counter() - t0
         if ok and jr is not None:
             jr.mark_done(job, dt)
-        results.append(ClipResult(job, ok=ok, seconds=dt, error="" if ok else err))
-        if progress_cb is not None:
-            progress_cb((i + 1) / len(jobs))
-    return results
+        results[i] = ClipResult(job, ok=ok, seconds=dt, error="" if ok else err)
+        bump()
+    return results  # type: ignore[return-value]

@@ -5,7 +5,10 @@ Flag surface is name-for-name compatible with the reference CLI
 semantics applied by the driver (:1225-1266). TPU-specific additions:
 --batch-size, --engine-mode, --rng, --seed, --assoc-scan, --precision,
 --preset, --text-preset, --pipe-format, --segment-frames, --profile,
---sharding, --devices, --decode-workers, --steps-per-call, --check-deps.
+--sharding, --devices, --decode-workers, --steps-per-call, --check-deps,
+and the batch surface --batch-manifest / --batch-journal /
+--batch-retries (N clips rendered in lockstep through the clip-sharded
+engine with journal resume — BASELINE.json config 5 as a product).
 """
 
 from __future__ import annotations
@@ -127,6 +130,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps-per-call", type=int, default=0,
                    help="batch chunks scanned inside one device dispatch "
                         "(0 = auto: 4 single-device, 1 sharded/segmented)")
+    p.add_argument("--batch-manifest", type=str, default="",
+                   help="render a batch of clips from a JSON manifest "
+                        "(list of {input, output?, width?, height?, "
+                        "fps?}); jobs sharing size/fps render in "
+                        "lockstep through the clip-sharded engine, one "
+                        "clip per mesh slot (BASELINE config 5); "
+                        "effect flags/presets apply to every job")
+    p.add_argument("--batch-journal", type=str, default="",
+                   help="journal path for --batch-manifest resume "
+                        "(default: <manifest>.journal.jsonl; 'none' "
+                        "disables). Re-running the same command skips "
+                        "clips already rendered")
+    p.add_argument("--batch-retries", type=int, default=1,
+                   help="per-clip retries for failed --batch-manifest "
+                        "jobs (retries run on the sequential path)")
     return p
 
 
@@ -192,6 +210,95 @@ def params_from_args(a: argparse.Namespace, provided: set | None = None) -> Effe
     return dataclasses.replace(base, **updates, text=text).clamped()
 
 
+def _run_batch(a: argparse.Namespace, argv) -> int:
+    """--batch-manifest driver: manifest jobs -> batch.render_batch
+    (journal resume + per-clip retry; homogeneous groups render through
+    the clip-sharded multiclip.process_videos)."""
+    import json
+
+    mpath = Path(a.batch_manifest)
+    if not mpath.exists():
+        print("batch manifest not found", file=sys.stderr)
+        return 2
+    try:
+        data = json.loads(mpath.read_text())
+        if isinstance(data, dict):
+            data = data["jobs"]
+        if not isinstance(data, list) or not data:
+            raise ValueError("manifest must be a non-empty list of jobs "
+                             "(or {'jobs': [...]})")
+    except (ValueError, KeyError) as e:
+        print(f"failed to load batch manifest {a.batch_manifest!r}: {e}",
+              file=sys.stderr)
+        return 2
+
+    params = params_from_args(a, provided_flags(argv))
+    from .batch import ClipJob, render_batch
+
+    kwargs = dict(
+        crf=int(max(12, min(28, a.crf))),
+        target_bitrate_kbps=int(max(0, a.bitrate)),
+        gpu=bool(a.gpu),
+        nvenc_preset=str(a.nvenc_preset),
+        encoder_preference=str(a.encoder),
+        decoder_preference=str(a.decoder),
+        batch_size=max(1, int(a.batch_size)),
+        engine_mode=str(a.engine_mode),
+        rng=str(a.rng),
+        seed=int(a.seed),
+        precision=str(a.precision),
+        pipe_format=str(a.pipe_format),
+        devices=max(0, int(a.devices)),
+        steps_per_call=int(a.steps_per_call),
+    )
+    # options outside the clip-sharded surface route the job through the
+    # sequential per-clip path (batch.MULTI_CLIP_KWARGS)
+    if a.segment_frames > 0:
+        kwargs["segment_frames"] = int(a.segment_frames)
+    if a.decode_workers > 1:
+        kwargs["decode_workers"] = int(a.decode_workers)
+    if a.assoc_scan:
+        kwargs["assoc_scan"] = True
+
+    jobs = []
+    for i, d in enumerate(data):
+        try:
+            inp = Path(d["input"])
+        except (TypeError, KeyError):
+            print(f"manifest job {i} has no 'input'", file=sys.stderr)
+            return 2
+        out = d.get("output") or str(inp.with_name(inp.stem + "_crt.mp4"))
+        jobs.append(ClipJob(
+            str(inp), str(out), params,
+            width=int(d["width"]) if d.get("width") else
+            (a.width if a.width > 0 else None),
+            height=int(d["height"]) if d.get("height") else
+            (a.height if a.height > 0 else None),
+            fps=float(d["fps"]) if d.get("fps") else
+            (a.fps if a.fps > 0 else None),
+            kwargs=dict(kwargs),
+        ))
+
+    journal = a.batch_journal or str(mpath) + ".journal.jsonl"
+    if journal == "none":
+        journal = None
+    t0 = time.perf_counter()
+    results = render_batch(jobs, journal=journal,
+                           max_retries=max(0, int(a.batch_retries)))
+    n_ok = sum(r.ok for r in results)
+    n_skip = sum(r.skipped for r in results)
+    for r in results:
+        tag = ("skipped (journal)" if r.skipped
+               else "ok" if r.ok else "FAILED")
+        print(f"{r.job.input_path} -> {r.job.output_path}: {tag}"
+              + (f" [{r.seconds:.1f}s]" if not r.skipped else ""))
+        if not r.ok and r.error:
+            print(f"  {r.error.strip().splitlines()[-1]}", file=sys.stderr)
+    print(f"{n_ok}/{len(results)} clips ok ({n_skip} resumed), "
+          f"elapsed {time.perf_counter() - t0:.3f}s")
+    return 0 if n_ok == len(results) else 5
+
+
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
     if a.check_deps:
@@ -200,6 +307,8 @@ def main(argv=None) -> int:
         rep = check_deps()
         print(rep.render())
         return 0 if rep.ok else 4
+    if a.batch_manifest:
+        return _run_batch(a, argv)
     if a.gui or not a.input:
         from .gui import launch_gui
 
