@@ -110,6 +110,13 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
     if layout == "planar":
         staged = np.ascontiguousarray(np.transpose(staged, (0, 3, 1, 2)))
     aux_np = eng.make_aux(np.arange(spc * batch))
+    # STAGE first and force the transfers with a scalar fetch, timed
+    # separately: the relay moves the spc*B input frames at single-digit
+    # MB/s, and billing that into the "compile" figure is exactly the
+    # r1->r4 "cold compile regressed 22.9 -> 479.6 s" mirage (round-5
+    # decomposition, ROADMAP.md: compile is seconds; staging is minutes
+    # and scales with spc)
+    t0 = time.perf_counter()
     if spc > 1:
         staged = staged.reshape((spc, batch) + staged.shape[1:])
         aux = jax.tree.map(
@@ -120,6 +127,8 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
         aux = jax.tree.map(jax.device_put, aux_np)
         step = eng.jitted_step()
     frames = jax.device_put(staged)
+    np.asarray(frames[(0,) * frames.ndim])
+    stage_s = time.perf_counter() - t0
     state = eng.init_state()
     first = jnp.zeros((1,), jnp.bool_)
 
@@ -145,7 +154,7 @@ def bench_engine(params, h, w, batch, iters, warmup=2, assoc_scan=False):
         cur, _ = step(cur, aux, state, first, eng._c)
     sync(cur)
     dt = time.perf_counter() - t0
-    return spc * batch * iters / dt, compile_s
+    return spc * batch * iters / dt, compile_s, stage_s
 
 
 def bench_oracle(params, h, w, n_frames):
@@ -189,7 +198,16 @@ def bench_oracle(params, h, w, n_frames):
 
 def bench_c5(quick=False, iters=3):
     """Config 5: multi-clip batch render through the clip-sharded engine
-    (on however many chips are visible; 1 here)."""
+    (on however many chips are visible; 1 here).
+
+    Round 5: the engine resolves layout="auto" (the c4 params resolve
+    PLANAR — MultiClipEngine now inherits the in-place glitch + planar
+    persist that won c4; PCRT_BENCH_LAYOUT=nhwc A/Bs the legacy
+    interleaved layout), and the loop dispatches through process_stack's
+    multi-chunk scan with the production auto steps-per-call
+    (PCRT_BENCH_SPC_C5 overrides)."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -204,40 +222,150 @@ def bench_c5(quick=False, iters=3):
     h, w, c, b = (540, 960, 2, 8) if quick else (2160, 3840, 4, 8)
     mesh = make_mesh(axis="clips")
     c = max(c, mesh.devices.size)
-    eng = CRTEngine(config_params("c4_temporal_1080p"), h, w, fps=30.0)
+    layout = os.environ.get("PCRT_BENCH_LAYOUT", "auto")
+    eng = CRTEngine(config_params("c4_temporal_1080p"), h, w, fps=30.0,
+                    layout=layout)
     mc = MultiClipEngine(eng, mesh)
+    # production auto steps-per-call (multiclip.process_videos):
+    # ~spc * C * B frames in flight per dispatch under the same host-RAM
+    # budget the pipeline uses
+    spc = int(os.environ.get("PCRT_BENCH_SPC_C5", "0"))
+    if spc <= 0:
+        budget = 256 if h * w <= 1920 * 1080 else 64
+        spc = max(1, min(8, budget // (c * b)))
     # flat clip-major batch — the round-3 wrapper contract (no in-jit
     # reshapes around the Pallas calls)
     # per-process salt: defeat the relay's cross-process replay cache
     # (see bench_engine)
     salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3), dtype=np.uint8)
-    clips = jax.device_put(make_frames(c * b, h, w) ^ salt)
-    # pre-stage aux/states on device: this rig's relay has ~30 ms
-    # per-transfer latency, which would otherwise dominate the loop
-    aux = jax.tree.map(jax.device_put,
-                       eng.make_aux(np.tile(np.arange(b), c)))
-    states = jnp.zeros((c, h, w, 3), jnp.float32)
+    staged = make_frames(spc * c * b, h, w) ^ salt
+    if eng.layout == "planar":
+        staged = np.ascontiguousarray(np.transpose(staged, (0, 3, 1, 2)))
+    aux_np = eng.make_aux(np.tile(np.arange(spc * b).reshape(spc, 1, b),
+                                  (1, c, 1)).reshape(-1))
+    # pre-stage on device: this rig's relay has ~30 ms per-transfer
+    # latency, which would otherwise dominate the loop
+    states = jnp.zeros((c,) + eng.init_state().shape, jnp.float32)
     first = jnp.full((1,), True, jnp.bool_)
     later = jnp.full((1,), False, jnp.bool_)
-    # warmups sync via the same 3-byte scalar fetch as the timed loop
+    if spc > 1:
+        clips = jax.device_put(
+            staged.reshape((spc, c * b) + staged.shape[1:]))
+        aux = jax.tree.map(
+            lambda a: jax.device_put(
+                jnp.reshape(a, (spc, c * b) + a.shape[1:])), aux_np)
+        step = mc._mstep
+        fetch = lambda o: np.asarray(o[0, 0, 0, 0])  # noqa: E731
+    else:
+        clips = jax.device_put(staged)
+        aux = jax.tree.map(jax.device_put, aux_np)
+        step = mc._step
+        fetch = lambda o: np.asarray(o[0, 0, 0])  # noqa: E731
+    # warmups sync via the same scalar fetch as the timed loop
     # (an earlier jit-sum readback + `del` of its executable right
     # before the timed region made the relay bill ~0.8 s of deferred
     # work INTO the loop: 14 fps where phase-instrumented runs measure
     # ~219 — see bench_engine.sync for why block_until_ready is out)
-    out, st = mc._step(clips, aux, states, first, eng._c)
-    np.asarray(out[0, 0, 0])
+    out, st = step(clips, aux, states, first, eng._c)
+    fetch(out)
     for _ in range(3):
-        out, st = mc._step(clips, aux, st, later, eng._c)
-        np.asarray(out[0, 0, 0])
+        out, st = step(clips, aux, st, later, eng._c)
+        fetch(out)
     # thread the state: each call consumes the previous call's carry, so
     # iterations serialize WITHOUT a per-iteration host readback
     t0 = time.perf_counter()
     for i in range(iters):
-        out, st = mc._step(clips, aux, st, later, eng._c)
+        out, st = step(clips, aux, st, later, eng._c)
     # scalar fetch from the final output: the threaded state serializes
     # the iterations (costs ~1 relay RTT, amortized over iters)
-    np.asarray(out[0, 0, 0])
-    return c * b * iters / (time.perf_counter() - t0)
+    fetch(out)
+    return spc * c * b * iters / (time.perf_counter() - t0)
+
+
+def device_time_fps(params, h, w, batch, steps=6):
+    """fps derived from xprof DEVICE SELF-TIME over `steps` compiled
+    steps — the cross-check for sub-~5ms configs whose wall timings the
+    relay reads unreliably (bench_engine's CAVEAT; VERDICT r4 weak #3).
+    Wall fps on this rig includes the ~0.1 ms/f relay dispatch floor;
+    device fps is the chip's own busy time and transfers to real hosts.
+
+    Returns (fps, total_device_ms) or (None, None) when the xprof
+    tooling is unavailable."""
+    import glob
+    import json as _json
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from pythoncrt_tpu.engine import CRTEngine
+
+    try:
+        from xprof.convert import raw_to_tool_data as r2t
+    except Exception:
+        return None, None
+
+    eng = CRTEngine(params, h, w, fps=30.0, layout="auto")
+    salt = np.random.default_rng().integers(0, 256, (1, 1, 1, 3),
+                                            dtype=np.uint8)
+    staged = make_frames(batch, h, w) ^ salt
+    if eng.layout == "planar":
+        staged = np.ascontiguousarray(np.transpose(staged, (0, 3, 1, 2)))
+    aux = jax.tree.map(jax.device_put, eng.make_aux(np.arange(batch)))
+    frames = jax.device_put(staged)
+    state = eng.init_state()
+    first = jnp.zeros((1,), jnp.bool_)
+    step = eng.jitted_step()
+
+    def sync(arr):
+        return np.asarray(arr[(0,) * (arr.ndim - 1)])
+
+    cur, _ = step(frames, aux, state, first, eng._c)
+    sync(cur)
+    cur, _ = step(cur, aux, state, first, eng._c)
+    sync(cur)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(steps):
+                cur, _ = step(cur, aux, state, first, eng._c)
+            sync(cur)
+        cands = sorted(glob.glob(f"{td}/**/*.xplane.pb", recursive=True))
+        if not cands:
+            return None, None
+        try:
+            data, _ = r2t.xspace_to_tool_data([cands[-1]],
+                                              "framework_op_stats", {})
+            if isinstance(data, bytes):
+                data = data.decode()
+            parsed = _json.loads(data)
+        except Exception:
+            return None, None
+    total_us = 0.0
+    tables = parsed if isinstance(parsed, list) else []
+    for t in tables:
+        if not (isinstance(t, dict) and "cols" in t):
+            continue
+        ids = [c.get("id") for c in t.get("cols", [])]
+        st_col = next((i for i in ids if i and "self_time" in i
+                       and "percent" not in i and "cumulative" not in i),
+                      None)
+        if st_col is None:
+            continue
+        for r in t.get("rows", []):
+            cells = [c.get("v") if isinstance(c, dict) else None
+                     for c in r.get("c", [])]
+            vals = dict(zip(ids, cells))
+            name = str(vals.get("operation") or vals.get("name") or "")
+            if name.upper() == "IDLE":
+                continue
+            v = vals.get(st_col)
+            if v is not None:
+                total_us += float(v)
+        if total_us:
+            break
+    if not total_us:
+        return None, None
+    return steps * batch / (total_us / 1e6), total_us / 1e3
 
 
 def config_params(name):
@@ -287,8 +415,9 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     p3 = config_params("c3_full_1080p")
-    tpu_fps, compile_s = bench_engine(p3, h, w, batch, iters)
-    log(f"c3 full-stack {w}x{h}: {tpu_fps:.1f} fps (compile {compile_s:.1f}s)")
+    tpu_fps, compile_s, stage_s = bench_engine(p3, h, w, batch, iters)
+    log(f"c3 full-stack {w}x{h}: {tpu_fps:.1f} fps "
+        f"(stage {stage_s:.1f}s, compile+first {compile_s:.1f}s)")
 
     cpu_fps = bench_oracle(p3, h, w, oracle_frames)
     log(f"c3 CPU oracle {w}x{h}: {cpu_fps:.2f} fps (live)")
@@ -303,11 +432,24 @@ def main():
         for name, (ch, cw) in sizes.items():
             if quick:
                 ch, cw = ch // 2, cw // 2
-            fps, cs = bench_engine(config_params(name), ch, cw, batch, iters)
+            fps, cs, ss = bench_engine(config_params(name), ch, cw, batch, iters)
             pin = PINNED_CPU_BASELINE.get(name)
             vs = f", vs_baseline {fps / pin:.0f}x (ref {pin} fps)" \
                 if pin and not quick else ""
-            log(f"{name} {cw}x{ch}: {fps:.1f} fps (compile {cs:.1f}s){vs}")
+            log(f"{name} {cw}x{ch}: {fps:.1f} fps (stage {ss:.1f}s, "
+                f"compile+first {cs:.1f}s){vs}")
+            if name in ("c1_defaults_480p", "c2_retro_720p") and not quick:
+                # sub-~5ms steps read unreliable wall times on this
+                # relay; record the xprof device-self-time fps alongside
+                # (BASELINE.md carries both as (relay-wall, device) pairs)
+                dfps, dms = device_time_fps(config_params(name), ch, cw,
+                                            batch)
+                if dfps:
+                    log(f"{name} device-self-time: {dfps:.1f} fps "
+                        f"({dms:.2f} ms over 6x{batch} frames)")
+                else:
+                    log(f"{name} device-self-time: unavailable "
+                        "(xprof tooling missing)")
         log(f"c5 (multi-clip 4K): {bench_c5(quick):.1f} fps")
 
     print(json.dumps({

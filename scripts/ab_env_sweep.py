@@ -35,7 +35,7 @@ def main():
         for k, v in pairs:
             os.environ[k] = v
         try:
-            fps, cs = bench_engine(p, h, w, 32, iters)
+            fps, cs, _ = bench_engine(p, h, w, 32, iters)
             print(f"{cfg} [{variant or 'default'}]: {fps:.1f} fps "
                   f"(compile {cs:.1f}s)", flush=True)
         finally:

@@ -22,7 +22,7 @@ def main():
     p3 = config_params("c3_full_1080p")
     for spc in spcs:
         os.environ["PCRT_BENCH_SPC"] = str(spc)
-        fps, cs = bench_engine(p3, 1080, 1920, 32, 10)
+        fps, cs, _ = bench_engine(p3, 1080, 1920, 32, 10)
         print(f"spc={spc}: {fps:.1f} fps (compile {cs:.1f}s)", flush=True)
 
 

@@ -23,7 +23,7 @@ def main():
     p3 = config_params("c3_full_1080p")
     for lad in ladders:
         os.environ["PCRT_WARP_LADDER"] = lad
-        fps, cs = bench_engine(p3, 1080, 1920, 32, 10)
+        fps, cs, _ = bench_engine(p3, 1080, 1920, 32, 10)
         print(f"ladder={lad!r}: {fps:.1f} fps (compile {cs:.1f}s)", flush=True)
 
 

@@ -63,7 +63,7 @@ def main() -> None:
     abls = ABLATIONS_C3 if cfg == "c3" else ABLATIONS_C4
     base = config_params(base_name)
 
-    fps0, comp = bench_engine(base, H, W, B, iters)
+    fps0, comp, _ = bench_engine(base, H, W, B, iters)
     full_ms = 1000.0 / fps0
     print(f"{cfg} full: {fps0:.1f} fps = {full_ms:.3f} ms/f "
           f"(compile {comp:.0f}s)", flush=True)
@@ -71,13 +71,13 @@ def main() -> None:
     total = 0.0
     for name, over in abls.items():
         p = dataclasses.replace(base, **over)
-        fps, _ = bench_engine(p, H, W, B, iters)
+        fps, _, _ = bench_engine(p, H, W, B, iters)
         d = full_ms - 1000.0 / fps
         total += max(0.0, d)
         print(f"  -{name:12s} {fps:7.1f} fps   stage ~{d:6.3f} ms/f", flush=True)
 
     p_off = dataclasses.replace(base, **ALL_OFF)
-    fps_off, _ = bench_engine(p_off, H, W, B, iters)
+    fps_off, _, _ = bench_engine(p_off, H, W, B, iters)
     floor = 1000.0 / fps_off
     print(f"  all-off floor: {fps_off:.1f} fps = {floor:.3f} ms/f", flush=True)
     print(f"  sum(stages) {total:.3f} + floor {floor:.3f} = "

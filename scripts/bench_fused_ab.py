@@ -43,7 +43,7 @@ from bench import bench_engine, config_params
 cfg = sys.argv[1]
 iters = int(sys.argv[2])
 name = "c3_full_1080p" if cfg == "c3" else "c4_temporal_1080p"
-fps, comp = bench_engine(config_params(name), 1080, 1920, 32, iters)
+fps, comp, _ = bench_engine(config_params(name), 1080, 1920, 32, iters)
 print(f"RESULT {fps:.1f} fps = {1000.0/fps:.3f} ms/f (compile {comp:.0f}s)")
 """
 
