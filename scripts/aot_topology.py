@@ -25,22 +25,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def get_topology(accel: str):
-    """Try the known spellings for a v5e-8 topology descriptor."""
+    """Try the known spellings for a v5e-8 topology descriptor.
+    jax's get_topology_desc takes the topology NAME as its first
+    positional (regex ^name[:=_]NxM...$); v5e names use the 'v5e:AxB'
+    form with chips_per_host_bounds describing the host shape."""
     from jax.experimental import topologies
 
     attempts = [
-        dict(platform="tpu", topology_name="v5e:2x4"),
-        dict(platform="tpu", topology_name="v5litepod-8"),
-        dict(platform="tpu", topology_name="v5e:1x8"),
-        dict(platform="tpu"),
+        ("v5e:2x4", {}),
+        ("v5e:1x8", {}),
+        ("v5litepod:2x4", {}),
+        ("v5e:2x4", {"chips_per_host_bounds": "2,4,1"}),
+        (accel, {}),
     ]
     errs = []
-    for kw in attempts:
+    for name, kw in attempts:
         try:
-            topo = topologies.get_topology_desc(accel, **kw)
-            return topo, kw, errs
+            topo = topologies.get_topology_desc(name, "tpu", **kw)
+            return topo, {"topology_name": name, **kw}, errs
         except Exception as e:
-            errs.append({"kwargs": {k: v for k, v in kw.items()},
+            errs.append({"topology_name": name, **kw,
                          "error": f"{type(e).__name__}: {e}"})
     return None, None, errs
 
