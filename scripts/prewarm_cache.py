@@ -78,8 +78,13 @@ def main() -> None:
 
     import jax
 
-    print(f"backend: {jax.default_backend()}; cache: "
-          f"{jax.config.jax_compilation_cache_dir}", file=sys.stderr)
+    # the engine enables the persistent cache at first construction
+    # (engine._enable_compile_cache); report the destination up front
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~/.cache"), "pythoncrt_tpu", "xla"))
+    print(f"backend: {jax.default_backend()}; cache: {cache_dir}",
+          file=sys.stderr)
     for cfg, size in plan:
         for spc in spcs:
             # pipeline auto-spc: 8 at <=1080p, 4 above (pipeline.py)
