@@ -145,16 +145,22 @@ def pick_ty_fused(h: int, w: int):
         # the DMA, it does not error)
         return t if (t % 8 == 0 and h % t == 0 and h // t >= 2
                      and h >= t + 16) else None
-    # Measured sweeps (2026-08-17, honest harness): 1080p ty=24 708,
-    # ty=40 800, ty=72 664, ty=120 687 fps; 4K ty=8 299, ty=24 311,
-    # ty=40 275. Taller stripes cut the 16-row halo ratio until the
-    # charged VMEM liveness passes ~21 MB, where Mosaic's pipelining
-    # degrades (the vmem_limit raise in fused_pipeline makes taller
-    # COMPILE, but past the knee it runs slower). The cap picks ty=40
-    # at w<=1920 and ty=24 at 4K — the measured optima.
+    # Measured sweeps: 1080p ty=24 708, ty=40 800, ty=72 664, ty=120
+    # 687 fps (2026-08-17); 4K ty=24 434, ty=40 457, ty=48 425, ty=80
+    # 354 (2026-08-20 spc-1 re-sweep — the in-place aliased glitch and
+    # planar persist moved the knee; the round-3 "ty=40 loses at 4K"
+    # point is stale, scripts/sweep_c5_ty.py). Confirmed under the
+    # official spc-2 iters=12 protocol: ty=40 453.8 vs ty=24 449.8 —
+    # ty=40 never loses across 3 protocols. Taller stripes cut the
+    # 16-row halo ratio until the charged VMEM liveness passes the knee
+    # where Mosaic's pipelining degrades (the vmem_limit raise in
+    # fused_pipeline makes taller COMPILE, but past the knee it runs
+    # slower): ty=40 at 4K = 28.4 MB wins, ty=48 = 32.4 MB runs -2%,
+    # so the cap sits between — ty=40 is now the pick at both w<=1920
+    # (17.3 MB) and 4K.
     for t in (40, 32, 24, 16, 8):
         if h % t == 0 and h // t >= 2 and h >= t + 16 \
-                and _LIVE_F * 3 * (t + 16) * w * 4 <= (21 << 20):
+                and _LIVE_F * 3 * (t + 16) * w * 4 <= (29 << 20):
             return t
     return None
 

@@ -248,3 +248,29 @@ def test_grain_inkernel_forms(monkeypatch, mode):
         del os.environ["PCRT_NO_FUSED"]
     dps = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
     assert dps.max() <= 1 and (dps > 0).mean() < 1e-3
+
+
+def test_pick_ty_policy(monkeypatch):
+    """Pin the stripe-height policy: the measured optima (ROADMAP.md
+    round-5 re-sweep; official spc-2 A/B ty=40 453.8 vs ty=24 449.8 at
+    4K) and the ~29 MB charged-liveness cap that encodes the Mosaic
+    pipelining knee. A silent change here is a perf regression even
+    though every ty is numerically correct."""
+    from pythoncrt_tpu.kernels.fused import pick_ty_fused
+
+    monkeypatch.delenv("PCRT_FUSED_TY", raising=False)
+    assert pick_ty_fused(1080, 1920) == 40   # c3/c4: 800 vs 708 at ty=24
+    assert pick_ty_fused(2160, 3840) == 40   # c5 4K: the r5 re-sweep pick
+    # wider than 4K: ty=40's charged liveness crosses the cap, the
+    # ladder falls to the tallest ty that both divides h and fits
+    assert pick_ty_fused(1920, 4224) == 32
+    # tiny frames: divisibility + the 16-row halo floor pick ty=24
+    assert pick_ty_fused(48, 256) == 24
+    # force knob: honored when legal, refused (None -> caller falls
+    # back to bloom3/XLA) when not a multiple of 8 or not dividing h
+    monkeypatch.setenv("PCRT_FUSED_TY", "24")
+    assert pick_ty_fused(2160, 3840) == 24
+    monkeypatch.setenv("PCRT_FUSED_TY", "20")
+    assert pick_ty_fused(2160, 3840) is None
+    monkeypatch.setenv("PCRT_FUSED_TY", "64")
+    assert pick_ty_fused(2160, 3840) is None  # 2160 % 64 != 0
