@@ -133,10 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-manifest", type=str, default="",
                    help="render a batch of clips from a JSON manifest "
                         "(list of {input, output?, width?, height?, "
-                        "fps?}); jobs sharing size/fps render in "
-                        "lockstep through the clip-sharded engine, one "
-                        "clip per mesh slot (BASELINE config 5); "
-                        "effect flags/presets apply to every job")
+                        "fps?, preset?, text_preset?}); jobs sharing "
+                        "params/size/fps render in lockstep through "
+                        "the clip-sharded engine, one clip per mesh "
+                        "slot (BASELINE config 5); effect flags apply "
+                        "to every job, a job's preset keys override "
+                        "--preset/--text-preset as its base (explicit "
+                        "flags still win, as in single-clip mode)")
     p.add_argument("--batch-journal", type=str, default="",
                    help="journal path for --batch-manifest resume "
                         "(default: <manifest>.journal.jsonl; 'none' "
@@ -232,7 +235,8 @@ def _run_batch(a: argparse.Namespace, argv) -> int:
               file=sys.stderr)
         return 2
 
-    params = params_from_args(a, provided_flags(argv))
+    prov = provided_flags(argv)
+    params = params_from_args(a, prov)
     from .batch import ClipJob, render_batch
 
     kwargs = dict(
@@ -268,8 +272,25 @@ def _run_batch(a: argparse.Namespace, argv) -> int:
             print(f"manifest job {i} has no 'input'", file=sys.stderr)
             return 2
         out = d.get("output") or str(inp.with_name(inp.stem + "_crt.mp4"))
+        job_params = params
+        if d.get("preset") or d.get("text_preset"):
+            # per-job preset: the single-clip precedence, per job — the
+            # job's preset replaces --preset/--text-preset as the base,
+            # explicitly-passed flags still win. Distinct-preset jobs
+            # land in distinct render groups (batch.py keys groups on
+            # the full params), so mixed manifests stay correct.
+            ja = argparse.Namespace(**vars(a))
+            if d.get("preset"):
+                ja.preset = str(d["preset"])
+            if d.get("text_preset"):
+                ja.text_preset = str(d["text_preset"])
+            try:
+                job_params = params_from_args(ja, prov)
+            except SystemExit as e:
+                print(f"manifest job {i}: {e}", file=sys.stderr)
+                return 2
         jobs.append(ClipJob(
-            str(inp), str(out), params,
+            str(inp), str(out), job_params,
             width=int(d["width"]) if d.get("width") else
             (a.width if a.width > 0 else None),
             height=int(d["height"]) if d.get("height") else

@@ -259,3 +259,50 @@ class TestBatchCLI:
         bad.write_text("{}")
         assert main(["--batch-manifest", str(bad)]) == 2
         capsys.readouterr()
+
+    def test_manifest_per_job_preset(self, clip_set, tmp_path, capsys):
+        """A job's `preset` key replaces the CLI --preset as its base
+        (single-clip precedence, per job): the preset job decodes
+        identical to a single-clip --preset render of the same input,
+        and differs from its plain sibling in the same manifest."""
+        paths, _ = clip_set
+        from pythoncrt_tpu.cli import main
+        from pythoncrt_tpu.params import save_preset
+
+        preset = tmp_path / "heavy.json"
+        save_preset(preset, EffectParams(persistence=0.7,
+                                         vignette_strength=0.8,
+                                         scanline_strength=0.4))
+        manifest = tmp_path / "jobs_pp.json"
+        manifest.write_text(json.dumps([
+            {"input": str(paths[0]), "output": str(tmp_path / "plain.mp4")},
+            {"input": str(paths[0]), "output": str(tmp_path / "heavy.mp4"),
+             "preset": str(preset)},
+        ]))
+        rc = main(["--batch-manifest", str(manifest), "--batch-journal",
+                   "none", "--noise-strength", "0", "--batch-size", "4"])
+        capsys.readouterr()
+        assert rc == 0
+        rc2 = main(["--input", str(paths[0]),
+                    "--output", str(tmp_path / "single.mp4"),
+                    "--preset", str(preset), "--noise-strength", "0",
+                    "--batch-size", "4"])
+        capsys.readouterr()
+        assert rc2 == 0
+        heavy = read_clip(tmp_path / "heavy.mp4")
+        np.testing.assert_array_equal(heavy,
+                                      read_clip(tmp_path / "single.mp4"))
+        assert np.abs(heavy.astype(int)
+                      - read_clip(tmp_path / "plain.mp4").astype(int)).max() > 4
+
+    def test_manifest_bad_preset_errors(self, clip_set, tmp_path, capsys):
+        paths, _ = clip_set
+        from pythoncrt_tpu.cli import main
+
+        manifest = tmp_path / "jobs_bp.json"
+        manifest.write_text(json.dumps([
+            {"input": str(paths[0]), "preset": str(tmp_path / "absent.json")},
+        ]))
+        rc = main(["--batch-manifest", str(manifest)])
+        err = capsys.readouterr().err
+        assert rc == 2 and "manifest job 0" in err
