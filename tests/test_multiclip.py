@@ -306,3 +306,35 @@ class TestBatchCLI:
         rc = main(["--batch-manifest", str(manifest)])
         err = capsys.readouterr().err
         assert rc == 2 and "manifest job 0" in err
+
+    def test_manifest_per_job_text_preset(self, clip_set, tmp_path, capsys):
+        """A job's `text_preset` key swaps the overlay for that job only:
+        decodes identical to a single-clip --text-preset render, differs
+        from its no-text sibling."""
+        paths, _ = clip_set
+        from pythoncrt_tpu.cli import main
+        from pythoncrt_tpu.params import TextParams, save_text_preset
+
+        tp = tmp_path / "title.json"
+        save_text_preset(tp, TextParams(text="REC", size=20, x=4, y=4))
+        manifest = tmp_path / "jobs_tp.json"
+        manifest.write_text(json.dumps([
+            {"input": str(paths[1]), "output": str(tmp_path / "notext.mp4")},
+            {"input": str(paths[1]), "output": str(tmp_path / "titled.mp4"),
+             "text_preset": str(tp)},
+        ]))
+        rc = main(["--batch-manifest", str(manifest), "--batch-journal",
+                   "none", "--noise-strength", "0", "--batch-size", "4"])
+        capsys.readouterr()
+        assert rc == 0
+        rc2 = main(["--input", str(paths[1]),
+                    "--output", str(tmp_path / "single_t.mp4"),
+                    "--text-preset", str(tp), "--noise-strength", "0",
+                    "--batch-size", "4"])
+        capsys.readouterr()
+        assert rc2 == 0
+        titled = read_clip(tmp_path / "titled.mp4")
+        np.testing.assert_array_equal(titled,
+                                      read_clip(tmp_path / "single_t.mp4"))
+        assert np.abs(titled.astype(int) - read_clip(
+            tmp_path / "notext.mp4").astype(int)).max() > 4
