@@ -231,8 +231,9 @@ def bench_c5(quick=False, iters=3):
     # budget the pipeline uses
     spc = int(os.environ.get("PCRT_BENCH_SPC_C5", "0"))
     if spc <= 0:
-        budget = 256 if h * w <= 1920 * 1080 else 64
-        spc = max(1, min(8, budget // (c * b)))
+        from pythoncrt_tpu.multiclip import auto_steps_per_call
+
+        spc = auto_steps_per_call(h, w, c, b)
     # flat clip-major batch — the round-3 wrapper contract (no in-jit
     # reshapes around the Pallas calls)
     # per-process salt: defeat the relay's cross-process replay cache

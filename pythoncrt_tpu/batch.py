@@ -45,33 +45,45 @@ class ClipResult:
 
 class RenderJournal:
     """Append-only JSONL journal of completed renders keyed by
-    (input, output); enables resume after a crash."""
+    (input, output, params-signature); enables resume after a crash.
+
+    The signature (same _group_key hash that groups shardable jobs)
+    makes a params/preset/geometry change invalidate the journal entry:
+    re-running a manifest with different flags re-renders instead of
+    silently skipping and keeping stale outputs — the same discipline
+    as the segment store's params-keyed resume (pipeline.py)."""
 
     def __init__(self, path: str | Path) -> None:
         self.path = Path(path)
-        self._done: set[tuple[str, str]] = set()
+        self._done: set[tuple[str, str, str]] = set()
         if self.path.exists():
             for line in self.path.read_text().splitlines():
                 try:
                     d = json.loads(line)
                     if d.get("status") == "done":
-                        self._done.add((d["input"], d["output"]))
+                        self._done.add((d["input"], d["output"],
+                                        d.get("sig", "")))
                 except (ValueError, KeyError):
                     continue
 
+    def _key(self, job: ClipJob) -> tuple[str, str, str]:
+        return (str(job.input_path), str(job.output_path), _job_sig(job))
+
     def is_done(self, job: ClipJob) -> bool:
-        return (str(job.input_path), str(job.output_path)) in self._done
+        return self._key(job) in self._done
 
     def mark_done(self, job: ClipJob, seconds: float) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        key = self._key(job)
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(json.dumps({
                 "status": "done",
-                "input": str(job.input_path),
-                "output": str(job.output_path),
+                "input": key[0],
+                "output": key[1],
+                "sig": key[2],
                 "seconds": round(seconds, 3),
             }) + "\n")
-        self._done.add((str(job.input_path), str(job.output_path)))
+        self._done.add(key)
 
 
 # process_video kwargs that the clip-sharded group path also accepts;
@@ -98,6 +110,13 @@ def _group_key(job: ClipJob) -> str:
         },
         sort_keys=True, default=str,
     )
+
+
+def _job_sig(job: ClipJob) -> str:
+    """Short hash of _group_key for journal lines."""
+    import hashlib
+
+    return hashlib.sha1(_group_key(job).encode()).hexdigest()[:12]
 
 
 def render_batch(
@@ -178,6 +197,13 @@ def render_batch(
             except Exception:
                 # group-level failure (e.g. mismatched source sizes with
                 # no explicit output size): each clip retries alone
+                seq.extend(grp)
+                continue
+            if len(rs) != len(grp):
+                # a result list that doesn't pair up with the group is a
+                # contract violation by process_videos_fn — don't let
+                # zip() truncate silently and leave None results; treat
+                # it as a group failure (each clip retries alone)
                 seq.extend(grp)
                 continue
             per = (time.perf_counter() - t0) / max(1, len(grp))

@@ -230,7 +230,7 @@ def _run_batch(a: argparse.Namespace, argv) -> int:
         if not isinstance(data, list) or not data:
             raise ValueError("manifest must be a non-empty list of jobs "
                              "(or {'jobs': [...]})")
-    except (ValueError, KeyError) as e:
+    except (OSError, ValueError, KeyError) as e:
         print(f"failed to load batch manifest {a.batch_manifest!r}: {e}",
               file=sys.stderr)
         return 2
@@ -256,13 +256,18 @@ def _run_batch(a: argparse.Namespace, argv) -> int:
         steps_per_call=int(a.steps_per_call),
     )
     # options outside the clip-sharded surface route the job through the
-    # sequential per-clip path (batch.MULTI_CLIP_KWARGS)
+    # sequential per-clip path (batch.MULTI_CLIP_KWARGS) — silently
+    # dropping them would override the user's explicit request
     if a.segment_frames > 0:
         kwargs["segment_frames"] = int(a.segment_frames)
     if a.decode_workers > 1:
         kwargs["decode_workers"] = int(a.decode_workers)
     if a.assoc_scan:
         kwargs["assoc_scan"] = True
+    if a.sharding != "auto":
+        kwargs["sharding"] = str(a.sharding)
+    if a.profile:
+        kwargs["profile_dir"] = str(a.profile)
 
     jobs = []
     for i, d in enumerate(data):
@@ -289,14 +294,21 @@ def _run_batch(a: argparse.Namespace, argv) -> int:
             except SystemExit as e:
                 print(f"manifest job {i}: {e}", file=sys.stderr)
                 return 2
+        try:
+            jw = (int(d["width"]) if d.get("width")
+                  else (a.width if a.width > 0 else None))
+            jh = (int(d["height"]) if d.get("height")
+                  else (a.height if a.height > 0 else None))
+            jf = (float(d["fps"]) if d.get("fps")
+                  else (a.fps if a.fps > 0 else None))
+        except (TypeError, ValueError) as e:
+            # the exit-2 manifest-error contract, not a raw traceback
+            print(f"manifest job {i}: bad width/height/fps: {e}",
+                  file=sys.stderr)
+            return 2
         jobs.append(ClipJob(
             str(inp), str(out), job_params,
-            width=int(d["width"]) if d.get("width") else
-            (a.width if a.width > 0 else None),
-            height=int(d["height"]) if d.get("height") else
-            (a.height if a.height > 0 else None),
-            fps=float(d["fps"]) if d.get("fps") else
-            (a.fps if a.fps > 0 else None),
+            width=jw, height=jh, fps=jf,
             kwargs=dict(kwargs),
         ))
 

@@ -99,6 +99,34 @@ def best_mesh_size(n_clips: int, devices: int = 0) -> int:
     return best
 
 
+def _resolve_output_rate(infos, live, fps) -> float:
+    """Common output rate for a lockstep batch. The rounding is only
+    for the agreement CHECK across sources; the returned rate is the
+    EXACT first source rate, like process_video uses. Parity demands
+    it: fps_out drives the reader resample rate and the glitch-phase
+    seeds (idx/fps), so 29.97 vs the exact 30000/1001 would make a
+    grouped render differ from its sequential retry."""
+    if fps and fps > 0:
+        return float(fps)
+    rates = {round(infos[i].fps or 24.0, 4) for i in live}
+    if len(rates) != 1:
+        raise ValueError(
+            f"source frame rates differ ({sorted(rates)}); pass an "
+            "explicit fps")
+    return float(infos[live[0]].fps or 24.0)
+
+
+def auto_steps_per_call(h: int, w: int, clips: int, batch: int) -> int:
+    """The production auto steps-per-call rule for clip-sharded renders:
+    same host-RAM budget as pipeline.process_video's auto rule (8
+    batches of 32 at <=1080p), scaled by the clip-major device batch —
+    keep ~spc * C * B frames in flight per dispatch. Single source of
+    truth: bench.py's config-5 harness uses this same function, so its
+    "production dispatch" claim stays honest if the budget changes."""
+    budget = 256 if h * w <= 1920 * 1080 else 64
+    return max(1, min(8, budget // max(1, clips * batch)))
+
+
 def _collector(
     queues, stack_q: queue.Queue, stop: threading.Event,
     spc: int, batch: int, fshape, err: dict,
@@ -263,15 +291,7 @@ def process_videos(
         (out_w, out_h), = sizes
         out_w = int(width) if width else out_w
         out_h = int(height) if height else out_h
-    if fps and fps > 0:
-        fps_out = float(fps)
-    else:
-        rates = {round(infos[i].fps or 24.0, 4) for i in live}
-        if len(rates) != 1:
-            raise ValueError(
-                f"source frame rates differ ({sorted(rates)}); pass an "
-                "explicit fps")
-        fps_out = float(rates.pop())
+    fps_out = _resolve_output_rate(infos, live, fps)
     totals = [
         max(1, int(math.ceil(inf.duration * fps_out))) if inf else 0
         for inf in infos
@@ -282,11 +302,9 @@ def process_videos(
 
     text_rgba = overlay_for(out_w, out_h, params.text)
     with perf.timed("fx.compile"):
-        want_planar = (
-            pipe_format == "rgb24"
-            and vio.find_ffmpeg() is not None
-            and os.environ.get("PCRT_NO_PLANAR") != "1"
-        )
+        from .pipeline import planar_pipe_gate
+
+        want_planar = planar_pipe_gate(pipe_format)
         eng = CRTEngine(
             params, out_h, out_w, fps_out,
             engine=engine_mode, rng=rng, seed=seed,
@@ -305,11 +323,7 @@ def process_videos(
 
     spc = int(steps_per_call)
     if spc <= 0:
-        # same host-RAM budget as pipeline.process_video's auto rule
-        # (8 batches of 32 at <=1080p), scaled by the clip-major device
-        # batch: keep ~spc * C * B frames in flight per dispatch
-        budget = 256 if out_h * out_w <= 1920 * 1080 else 64
-        spc = max(1, min(8, budget // max(1, c * batch_size)))
+        spc = auto_steps_per_call(out_h, out_w, c, batch_size)
 
     audio_paths = [
         vio.extract_audio(p) if infos[i] is not None else None
@@ -347,20 +361,27 @@ def process_videos(
                 results[i].error = f"open reader: {e}"
                 rd = None
             readers.append(rd)
-            try:
-                wr, used_gpu = vio.open_writer(
-                    str(outp), out_w, out_h, fps_out,
-                    encoder_preference=encoder_preference, gpu=gpu, crf=crf,
-                    bitrate_kbps=target_bitrate_kbps,
-                    nvenc_preset=nvenc_preset,
-                    audio_path=audio_paths[i], pix_fmt=out_pix_fmt,
-                )
-                results[i].used_gpu = used_gpu
-            except Exception as e:
-                results[i].ok = False
-                results[i].error = (results[i].error + "; " if
-                                    results[i].error else "") + f"open writer: {e}"
+            if rd is None:
+                # the reader already failed this clip: don't spawn an
+                # encoder only to close it on zero frames — that leaves
+                # a bogus empty output file next to an ok=False result
                 wr = None
+            else:
+                try:
+                    wr, used_gpu = vio.open_writer(
+                        str(outp), out_w, out_h, fps_out,
+                        encoder_preference=encoder_preference, gpu=gpu,
+                        crf=crf, bitrate_kbps=target_bitrate_kbps,
+                        nvenc_preset=nvenc_preset,
+                        audio_path=audio_paths[i], pix_fmt=out_pix_fmt,
+                    )
+                    results[i].used_gpu = used_gpu
+                except Exception as e:
+                    results[i].ok = False
+                    results[i].error = (
+                        (results[i].error + "; " if results[i].error else "")
+                        + f"open writer: {e}")
+                    wr = None
             writers.append(wr)
 
             fq: queue.Queue = queue.Queue(maxsize=max(2, 4 // spc))

@@ -180,6 +180,17 @@ def _segment_writer_loop(
     box["segments"] = seg
 
 
+def planar_pipe_gate(pipe_format: str) -> bool:
+    """Single source of truth for the ffmpeg-gbrp planar fast-path
+    eligibility (PCRT_NO_PLANAR=1 opts out). process_video and
+    multiclip.process_videos must use the SAME gate — a drift here
+    silently renders the batch path in a different layout than the
+    single-clip path it must match bitwise."""
+    return (pipe_format == "rgb24"
+            and vio.find_ffmpeg() is not None
+            and os.environ.get("PCRT_NO_PLANAR") != "1")
+
+
 def process_video(
     input_path: str | Path,
     output_path: str | Path,
@@ -267,12 +278,7 @@ def process_video(
         # runner takes the planar layout too (ShardedCRTEngine is
         # layout-agnostic — frames shard on axis 0 either way), so
         # multi-chip runs keep the single-chip layout win.
-        # PCRT_NO_PLANAR=1 opts out.
-        want_planar = (
-            pipe_format == "rgb24"
-            and vio.find_ffmpeg() is not None
-            and os.environ.get("PCRT_NO_PLANAR") != "1"
-        )
+        want_planar = planar_pipe_gate(pipe_format)
         eng = CRTEngine(
             params, out_h, out_w, fps_out,
             engine=engine_mode, rng=rng, seed=seed,

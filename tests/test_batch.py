@@ -62,8 +62,59 @@ def test_journal_resume_skips_done(clips, tmp_path):
 
 
 def test_journal_ignores_corrupt_lines(tmp_path):
+    from pythoncrt_tpu.batch import _job_sig
+
+    job = ClipJob("a", "b", EffectParams())
     j = tmp_path / "j.jsonl"
-    j.write_text('garbage\n{"status": "done", "input": "a", "output": "b"}\n')
+    j.write_text('garbage\n'
+                 '{"status": "done", "input": "a", "output": "b", '
+                 f'"sig": "{_job_sig(job)}"}}\n'
+                 # legacy sig-less line: params unknown -> conservative
+                 # re-render, never a silent stale-output skip
+                 '{"status": "done", "input": "c", "output": "d"}\n')
     jr = RenderJournal(j)
-    assert jr.is_done(ClipJob("a", "b", EffectParams()))
+    assert jr.is_done(job)
+    assert not jr.is_done(ClipJob("c", "d", EffectParams()))
     assert not jr.is_done(ClipJob("x", "y", EffectParams()))
+
+
+def test_journal_invalidated_by_params_change(clips, tmp_path):
+    """The journal keys on (input, output, params-signature): re-running
+    the same manifest with DIFFERENT params must re-render, not skip and
+    keep stale outputs."""
+    journal = tmp_path / "sig.jsonl"
+    jobs = make_jobs(clips, tmp_path)
+    res1 = render_batch(jobs, journal=journal, sharded=False)
+    assert all(r.ok and not r.skipped for r in res1)
+    # same params -> resumed
+    res2 = render_batch(make_jobs(clips, tmp_path), journal=journal,
+                        sharded=False)
+    assert all(r.skipped for r in res2)
+    # changed params -> same paths, new signature -> re-rendered
+    p2 = EffectParams(noise_strength=0.0, persistence=0.5)
+    jobs3 = [ClipJob(j.input_path, j.output_path, p2, kwargs=j.kwargs)
+             for j in jobs]
+    res3 = render_batch(jobs3, journal=journal, sharded=False)
+    assert all(r.ok and not r.skipped for r in res3)
+
+
+def test_group_result_length_mismatch_falls_back(clips, tmp_path):
+    """A process_videos_fn that violates the one-result-per-input
+    contract is treated as a group failure (sequential retry), never a
+    silent zip truncation leaving None results."""
+    jobs = [ClipJob(str(c), str(tmp_path / f"lm{i}.mp4"),
+                    EffectParams(noise_strength=0.0))
+            for i, c in enumerate(clips)]
+    calls = {"n": 0}
+
+    def bad_group(ins, outs, params, **kw):
+        calls["n"] += 1
+        from pythoncrt_tpu.multiclip import ClipRenderResult
+        return [ClipRenderResult(str(ins[0]), str(outs[0]), ok=True,
+                                 frames=6)]  # wrong length
+
+    res = render_batch(jobs, journal=None, sharded=True,
+                       process_fn=lambda *a, **k: None,
+                       process_videos_fn=bad_group)
+    assert calls["n"] == 1
+    assert all(r is not None and r.ok for r in res)

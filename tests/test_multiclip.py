@@ -258,7 +258,12 @@ class TestBatchCLI:
         bad = tmp_path / "bad.json"
         bad.write_text("{}")
         assert main(["--batch-manifest", str(bad)]) == 2
-        capsys.readouterr()
+        # malformed field values get the exit-2 manifest-error contract,
+        # not a raw traceback
+        badw = tmp_path / "badw.json"
+        badw.write_text(json.dumps([{"input": "a.mp4", "width": "1920px"}]))
+        assert main(["--batch-manifest", str(badw)]) == 2
+        assert "manifest job 0" in capsys.readouterr().err
 
     def test_manifest_per_job_preset(self, clip_set, tmp_path, capsys):
         """A job's `preset` key replaces the CLI --preset as its base
@@ -338,3 +343,54 @@ class TestBatchCLI:
                                       read_clip(tmp_path / "single_t.mp4"))
         assert np.abs(titled.astype(int) - read_clip(
             tmp_path / "notext.mp4").astype(int)).max() > 4
+
+
+class TestHelpers:
+    def test_resolve_output_rate_exact(self):
+        """Lockstep renders use the EXACT source rate (rounding is only
+        the cross-source agreement check) so grouped output matches a
+        sequential process_video retry on fractional-rate sources."""
+        from types import SimpleNamespace
+        from pythoncrt_tpu.multiclip import _resolve_output_rate
+
+        ntsc = 30000 / 1001
+        infos = [SimpleNamespace(fps=ntsc), None,
+                 SimpleNamespace(fps=29.97000001)]
+        assert _resolve_output_rate(infos, [0, 2], None) == ntsc
+        assert _resolve_output_rate(infos, [0, 2], 24.0) == 24.0
+        with pytest.raises(ValueError):
+            _resolve_output_rate(
+                [SimpleNamespace(fps=24.0), SimpleNamespace(fps=25.0)],
+                [0, 1], None)
+
+    def test_auto_steps_per_call(self):
+        from pythoncrt_tpu.multiclip import auto_steps_per_call
+
+        assert auto_steps_per_call(2160, 3840, 4, 8) == 2   # bench c5
+        assert auto_steps_per_call(1080, 1920, 4, 8) == 8
+        assert auto_steps_per_call(1080, 1920, 8, 64) == 1  # floor at 1
+
+    def test_failed_reader_leaves_no_output_file(self, clip_set, tmp_path,
+                                                 monkeypatch):
+        """A clip whose READER fails to open (probe ok) must not spawn
+        an encoder: no bogus empty output file next to an ok=False
+        result."""
+        import pythoncrt_tpu.multiclip as mc
+
+        paths, _ = clip_set
+        real_open = mc.vio.open_reader
+        victim = str(paths[1])
+
+        def flaky(path, *a, **k):
+            if str(path) == victim:
+                raise RuntimeError("injected codec failure")
+            return real_open(path, *a, **k)
+
+        monkeypatch.setattr(mc.vio, "open_reader", flaky)
+        outs = [tmp_path / f"fr{i}.mp4" for i in range(len(paths))]
+        res = process_videos(paths, outs, _params(), batch_size=4,
+                             report=False)
+        assert not res[1].ok and "open reader" in res[1].error
+        assert not outs[1].exists()
+        for i in (0, 2, 3):
+            assert res[i].ok and outs[i].exists()
