@@ -221,7 +221,10 @@ def bench_c5(quick=False, iters=3):
     # (340.0 vs 311, 2026-08-18: one persistence launch walks all clips)
     h, w, c, b = (540, 960, 2, 8) if quick else (2160, 3840, 4, 8)
     mesh = make_mesh(axis="clips")
-    c = max(c, mesh.devices.size)
+    # clip count must be a multiple of the mesh size (the loop calls
+    # _step/_mstep directly, bypassing process()'s divisibility check)
+    ndev = mesh.devices.size
+    c = -(-max(c, ndev) // ndev) * ndev
     layout = os.environ.get("PCRT_BENCH_LAYOUT", "auto")
     eng = CRTEngine(config_params("c4_temporal_1080p"), h, w, fps=30.0,
                     layout=layout)
@@ -428,8 +431,10 @@ def main():
             f"(pinned reference {PINNED_CPU_BASELINE_FPS})")
 
     if run_all:
+        # c4 at its NOMINAL size: (h, w) is already the quick stand-in
+        # under --quick, and the branch below halves again
         sizes = {"c1_defaults_480p": (480, 640), "c2_retro_720p": (720, 1280),
-                 "c4_temporal_1080p": (h, w)}
+                 "c4_temporal_1080p": (1080, 1920)}
         for name, (ch, cw) in sizes.items():
             if quick:
                 ch, cw = ch // 2, cw // 2

@@ -60,7 +60,9 @@ class RenderJournal:
             for line in self.path.read_text().splitlines():
                 try:
                     d = json.loads(line)
-                    if d.get("status") == "done":
+                    # a corrupt line may still parse as JSON (null, a
+                    # number): anything non-dict is skipped, not a crash
+                    if isinstance(d, dict) and d.get("status") == "done":
                         self._done.add((d["input"], d["output"],
                                         d.get("sig", "")))
                 except (ValueError, KeyError):

@@ -47,7 +47,7 @@ from . import perf
 from .engine import CRTEngine
 from .io import video as vio
 from .params import EffectParams
-from .pipeline import _feeder, _writer_loop
+from .pipeline import _feeder, _put_or_stop as _put, _writer_loop
 from .text import overlay_for
 
 
@@ -206,16 +206,6 @@ def _collector(
         _put(stack_q, None, stop)
 
 
-def _put(q: queue.Queue, item, stop: threading.Event) -> bool:
-    while not stop.is_set():
-        try:
-            q.put(item, timeout=0.2)
-            return True
-        except queue.Full:
-            continue
-    return False
-
-
 def process_videos(
     inputs: Sequence[str | Path],
     outputs: Sequence[str | Path],
@@ -350,8 +340,10 @@ def process_videos(
                 feed_qs.append(fq)
                 enc_qs.append(queue.Queue(maxsize=4))
                 continue
-            outp.parent.mkdir(parents=True, exist_ok=True)
             try:
+                # inside the per-clip handling: an unwritable output
+                # path fails THIS clip, not the whole lockstep batch
+                outp.parent.mkdir(parents=True, exist_ok=True)
                 rd = vio.open_reader(
                     str(inp), out_w, out_h, fps_out, decoder_preference,
                     pipe_eff,

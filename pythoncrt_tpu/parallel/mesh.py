@@ -49,6 +49,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = FRAME_AXIS) -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def _check_frame_dims(engine: CRTEngine, frame_dims) -> None:
+    """Per-frame dims must match the engine's layout contract; a layout
+    mismatch otherwise surfaces as a cryptic shape error deep inside the
+    jitted kernels."""
+    exp = (3, engine.h, engine.w) if engine.layout == "planar" \
+        else (engine.h, engine.w, 3)
+    if tuple(frame_dims) != exp:
+        raise ValueError(
+            f"frame shape {tuple(frame_dims)} does not match engine "
+            f"layout={engine.layout!r} (expected {exp})")
+
+
 def _aux_present(engine: CRTEngine, field: str) -> bool:
     """Whether engine.make_aux populates the given host-rng FrameAux
     field (the sharding specs must mirror make_aux's Nones exactly)."""
@@ -279,6 +291,7 @@ class ShardedCRTEngine:
     def process(self, frames_u8, frame_indices=None, state=None):
         frames_u8 = jnp.asarray(frames_u8)
         b = frames_u8.shape[0]
+        _check_frame_dims(self.engine, frames_u8.shape[1:])
         if b % self.ndev != 0:
             raise ValueError(f"batch {b} not divisible by mesh size {self.ndev}")
         if frame_indices is None:
@@ -303,6 +316,7 @@ class ShardedCRTEngine:
         under sharding)."""
         frames_stack = jnp.asarray(frames_stack)
         n, b = frames_stack.shape[:2]
+        _check_frame_dims(self.engine, frames_stack.shape[2:])
         if b % self.ndev != 0:
             raise ValueError(f"batch {b} not divisible by mesh size {self.ndev}")
         idx = np.asarray(frame_indices)
@@ -451,12 +465,7 @@ class MultiClipEngine:
         return _aux_present(self.engine, field)
 
     def _check_frame_shape(self, frame_dims) -> None:
-        eng = self.engine
-        exp = (3, eng.h, eng.w) if eng.layout == "planar" else (eng.h, eng.w, 3)
-        if tuple(frame_dims) != exp:
-            raise ValueError(
-                f"frame shape {tuple(frame_dims)} does not match engine "
-                f"layout={eng.layout!r} (expected {exp})")
+        _check_frame_dims(self.engine, frame_dims)
 
     def process(self, frames_u8, frame_indices, states=None):
         frames_u8 = jnp.asarray(frames_u8)

@@ -118,7 +118,14 @@ def _writer_loop(
             err["encode"] = e
             continue
         if progress is not None and total_frames > 0:
-            progress(min(1.0, written / float(total_frames)))
+            try:
+                progress(min(1.0, written / float(total_frames)))
+            except Exception as e:
+                # a raising progress callback must not kill the drain:
+                # producers block on this queue, and with the thread dead
+                # (and err unset) the render would hang forever. Mark the
+                # clip failed and keep draining.
+                err.setdefault("encode", e)
 
 
 def _segment_writer_loop(

@@ -67,6 +67,11 @@ def test_journal_ignores_corrupt_lines(tmp_path):
     job = ClipJob("a", "b", EffectParams())
     j = tmp_path / "j.jsonl"
     j.write_text('garbage\n'
+                 # lines that parse as JSON but are not objects (partial
+                 # writes / corruption) are skipped, not AttributeErrors
+                 'null\n'
+                 '42\n'
+                 '["done"]\n'
                  '{"status": "done", "input": "a", "output": "b", '
                  f'"sig": "{_job_sig(job)}"}}\n'
                  # legacy sig-less line: params unknown -> conservative

@@ -370,6 +370,20 @@ class TestHelpers:
         assert auto_steps_per_call(1080, 1920, 4, 8) == 8
         assert auto_steps_per_call(1080, 1920, 8, 64) == 1  # floor at 1
 
+    def test_unwritable_output_fails_clip_only(self, clip_set, tmp_path):
+        """One unwritable output path (its parent is a FILE, so mkdir
+        raises) fails that clip alone instead of aborting the batch."""
+        paths, _ = clip_set
+        blocker = tmp_path / "blocker"
+        blocker.write_text("not a directory")
+        outs = [tmp_path / f"uo{i}.mp4" for i in range(len(paths))]
+        outs[1] = blocker / "sub" / "out.mp4"
+        res = process_videos(paths, outs, _params(), batch_size=4,
+                             report=False)
+        assert not res[1].ok and res[1].error
+        for i in (0, 2, 3):
+            assert res[i].ok and outs[i].exists(), res[i].error
+
     def test_failed_reader_leaves_no_output_file(self, clip_set, tmp_path,
                                                  monkeypatch):
         """A clip whose READER fails to open (probe ok) must not spawn

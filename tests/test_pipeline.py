@@ -291,6 +291,20 @@ class TestPipeline:
         assert seen and seen[-1] == 1.0
         assert all(0 <= v <= 1 for v in seen)
 
+    def test_raising_progress_cb_fails_not_hangs(self, tiny_clip, tmp_path):
+        """A progress callback that throws (e.g. a GUI widget torn down
+        mid-render) must surface as a render failure — not kill the
+        encode thread silently and deadlock the bounded queue."""
+        path, _ = tiny_clip
+
+        def bad_cb(frac):
+            raise ValueError("widget destroyed")
+
+        with pytest.raises(RuntimeError, match="encode failed"):
+            process_video(path, tmp_path / "pc.mp4",
+                          EffectParams(persistence=0.0, noise_strength=0.0),
+                          batch_size=4, report=False, progress_cb=bad_cb)
+
     def test_encode_failure_raises_not_hangs(self, tiny_clip, tmp_path,
                                              monkeypatch):
         """A dying encoder (ffmpeg crash, disk full) must surface as an

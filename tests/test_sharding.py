@@ -76,6 +76,26 @@ class TestFrameSharding:
         with pytest.raises(ValueError):
             sh.process(synth_frames(10, H, W))
 
+    def test_rejects_mismatched_layout_shape(self, mesh):
+        # same clean-error contract as MultiClipEngine / CRTEngine: an
+        # NHWC batch into a planar-built engine (and vice versa) raises
+        # up front instead of a cryptic kernel shape error
+        frames = synth_frames(16, H, W)
+        eng = CRTEngine(EffectParams(persistence=0.5), H, W, FPS)
+        sh = ShardedCRTEngine(eng, mesh)
+        with pytest.raises(ValueError, match="layout"):
+            sh.process(np.transpose(frames, (0, 3, 1, 2)))
+        eng_p = CRTEngine(EffectParams(persistence=0.5), H, W, FPS,
+                          layout="planar")
+        shp = ShardedCRTEngine(eng_p, mesh)
+        with pytest.raises(ValueError, match="layout"):
+            shp.process(frames)
+        with pytest.raises(ValueError, match="layout"):
+            planar = np.transpose(frames, (0, 3, 1, 2))
+            shp.process_stack(planar.reshape((2, 8) + planar.shape[1:])
+                              .transpose(0, 1, 3, 2, 4),  # corrupt dims
+                              np.arange(16).reshape(2, 8))
+
     def test_output_sharding_layout(self, mesh):
         frames = synth_frames(8, H, W)
         eng = CRTEngine(EffectParams(persistence=0.0, noise_strength=0.0), H, W, FPS)
