@@ -47,9 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bitrate", type=int, default=0)
     p.add_argument("--scanline-speed", type=float, default=30.0)
     p.add_argument("--scanline-period", type=float, default=2.0)
-    p.add_argument("--fast-bloom", action="store_true")
+    # the default rides on the ACTION (not p.set_defaults): parser-level
+    # defaults bypass provided_flags' suppression, which made fast_bloom
+    # look explicitly-passed on every run and silently beat presets
+    p.add_argument("--fast-bloom", action="store_true", default=True)
     p.add_argument("--no-fast-bloom", dest="fast_bloom", action="store_false")
-    p.set_defaults(fast_bloom=True)
     p.add_argument("--pixel-size", type=int, default=2)
     p.add_argument("--brightness", type=float, default=0.0)
     p.add_argument("--contrast", type=float, default=1.0)
@@ -159,6 +161,7 @@ def provided_flags(argv=None) -> set:
     sp = build_parser()
     for act in sp._actions:
         act.default = argparse.SUPPRESS
+    sp._defaults.clear()  # parser-level set_defaults bypass the above
     ns, _ = sp.parse_known_args(argv)
     return set(vars(ns))
 
@@ -174,17 +177,33 @@ def params_from_args(a: argparse.Namespace, provided: set | None = None) -> Effe
             base, _ = load_preset(a.preset, base)
         except (OSError, ValueError) as e:
             raise SystemExit(f"failed to load preset {a.preset!r}: {e}")
-    text = TextParams(
-        text=str(a.text), font=str(a.text_font), size=int(a.text_size),
-        color=str(a.text_color), x=int(a.text_x), y=int(a.text_y),
-        after=bool(a.text_after),
-    )
+    import dataclasses
+
+    defaults = (build_parser().parse_args([]) if provided is None
+                else None)  # only the no-provided fallback needs them
+
+    def explicit(flag: str) -> bool:
+        if provided is not None:
+            return flag in provided
+        return getattr(a, flag) != getattr(defaults, flag)
+
+    t_base = TextParams()
     if a.text_preset:
         try:
-            text = load_text_preset(a.text_preset)
+            t_base = load_text_preset(a.text_preset)
         except (OSError, ValueError) as e:
             raise SystemExit(f"failed to load text preset {a.text_preset!r}: {e}")
-    defaults = build_parser().parse_args([])
+    text_map = dict(text="text", text_font="font", text_size="size",
+                    text_color="color", text_x="x", text_y="y",
+                    text_after="after")
+    t_upd = {}
+    for flag, field in text_map.items():
+        # same precedence as effect flags: the preset is the base,
+        # explicitly-passed flags win (previously --text-preset
+        # discarded explicit --text-* flags wholesale)
+        if not a.text_preset or explicit(flag):
+            t_upd[field] = getattr(a, flag)
+    text = dataclasses.replace(t_base, **t_upd)
     flag_map = dict(
         scanline_strength="scanline_strength", triad_strength="triad_strength",
         triad_gamma="triad_gamma", triad_preserve_luma="triad_preserve_luma",
@@ -203,13 +222,8 @@ def params_from_args(a: argparse.Namespace, provided: set | None = None) -> Effe
     )
     updates = {}
     for flag, field in flag_map.items():
-        v = getattr(a, flag)
-        explicit = (flag in provided) if provided is not None \
-            else v != getattr(defaults, flag)
-        if not a.preset or explicit:
-            updates[field] = v
-    import dataclasses
-
+        if not a.preset or explicit(flag):
+            updates[field] = getattr(a, flag)
     return dataclasses.replace(base, **updates, text=text).clamped()
 
 

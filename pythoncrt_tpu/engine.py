@@ -1137,9 +1137,17 @@ class CRTEngine:
         epilogue."""
         p = self.params
         if p.triad_on:  # stage 7
+            # planes may be in gbr pipe order: permute the mask rows to
+            # each plane's COLOR, same as the in-kernel epilogue brands
+            # spec.corder (the luma inside permutes its gathers too)
+            pc = self._fused_spec.corder if self._fused_spec else (0, 1, 2)
+            tri = jnp.transpose(c["triad"])  # (W, 3) -> (3, W), rgb rows
+            if pc != (0, 1, 2):
+                tri = tri[np.array(pc)]
             imgs = ocolor.apply_triad_planar(
-                imgs, jnp.transpose(c["triad"])[:, None, :],
-                p.triad_gamma, p.triad_preserve_luma, self.lut_exact)
+                imgs, tri[:, None, :],
+                p.triad_gamma, p.triad_preserve_luma, self.lut_exact,
+                corder=pc)
         if p.scanlines_on:  # stage 8
             if p.scanlines_1d:
                 sl = jax.vmap(lambda ph: self._scanline_mul_1d(c, ph))(aux.phase)

@@ -50,21 +50,30 @@ def find_ffmpeg() -> Optional[str]:
     return shutil.which("ffmpeg")
 
 
+_PROBE_CACHE: dict[tuple, bool] = {}
+
+
 def _probe_encoder(codec: str) -> bool:
     """Tiny lavfi test encode to the null muxer; returncode 0 => usable
-    (the reference's runtime probe pattern, crt_filter.py:141-204)."""
+    (the reference's runtime probe pattern, crt_filter.py:141-204).
+    Memoized per (codec, binary): a segmented or batch render opens a
+    writer per segment/clip, and hardware does not change mid-run."""
     exe = find_ffmpeg()
     if not exe:
         return False
-    try:
-        cmd = [
-            exe, "-hide_banner", "-loglevel", "error",
-            "-f", "lavfi", "-i", "color=c=black:s=16x16:d=0.05",
-            "-c:v", codec, "-f", "null", "-",
-        ]
-        return subprocess.run(cmd, capture_output=True).returncode == 0
-    except Exception:
-        return False
+    key = (codec, exe)
+    if key not in _PROBE_CACHE:
+        try:
+            cmd = [
+                exe, "-hide_banner", "-loglevel", "error",
+                "-f", "lavfi", "-i", "color=c=black:s=16x16:d=0.05",
+                "-c:v", codec, "-f", "null", "-",
+            ]
+            _PROBE_CACHE[key] = (
+                subprocess.run(cmd, capture_output=True).returncode == 0)
+        except Exception:
+            _PROBE_CACHE[key] = False
+    return _PROBE_CACHE[key]
 
 
 def can_use_nvenc() -> bool:
@@ -241,11 +250,26 @@ class FFmpegRawReader:
         ]
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                      stderr=subprocess.DEVNULL)
+        self._primed: Optional[np.ndarray] = None
+
+    def _prime(self) -> bool:
+        """Decode one frame ahead (open_reader's hwaccel runtime probe —
+        a bad -hwaccel only fails at the first read, not at Popen);
+        the frame is handed to the first read_into call."""
+        buf = np.empty(self.frame_shape, np.uint8)
+        ok = self.read_into(buf)
+        if ok:
+            self._primed = buf
+        return ok
 
     def read_into(self, out: np.ndarray) -> bool:
         """Decode the next frame directly into ``out`` ((H, W, 3) uint8,
         C-contiguous) — zero staging copies on the rgb24 path (the pipe
         read lands in the caller's batch buffer). Returns False at EOF."""
+        if self._primed is not None:
+            out[...] = self._primed
+            self._primed = None
+            return True
         if self._skip > 0:
             junk = np.empty((self.out_h, self.out_w, 3), np.uint8)
             while self._skip > 0:
@@ -265,12 +289,29 @@ class FFmpegRawReader:
                 self._yuv_buf = bytearray(nbytes)
             got = native.readinto_exact(self.proc.stdout, memoryview(self._yuv_buf))
             if got < nbytes:
-                return False
+                return self._eof_or_raise()
             out[...] = native.yuv420p_to_rgb24(bytes(self._yuv_buf), w, h)
             return True
         view = memoryview(out).cast("B")
         got = native.readinto_exact(self.proc.stdout, view)
-        return got == w * h * 3
+        if got == w * h * 3:
+            return True
+        return self._eof_or_raise()
+
+    def _eof_or_raise(self) -> bool:
+        """A short read is a clean EOF only if the decoder exited 0.
+        A nonzero exit (unsupported -hwaccel, corrupt input, mid-stream
+        crash) raises instead of being swallowed as EOF — otherwise a
+        failed decode produces a truncated or empty render reported as
+        success (the encoder-side close() already has this check)."""
+        try:
+            rc = self.proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            raise RuntimeError(
+                "ffmpeg decoder closed its output pipe but did not exit")
+        if rc != 0:
+            raise RuntimeError(f"ffmpeg decoder exited with code {rc}")
+        return False
 
     def iter_frames(self) -> Iterator[np.ndarray]:
         while True:
@@ -408,7 +449,11 @@ class ChunkedParallelReader:
             cb -= 1
         self.chunk = self.batch * cb
         self.start = int(start_frame)
-        self.total = int(total_frames)
+        # total_frames is an estimate; a resume may journal MORE frames
+        # than a re-probe estimates (the last chunk deliberately reads
+        # past the estimate). start > total must be a clean 0-frame EOF
+        # like the sequential reader, not a negative buffer dimension.
+        self.total = max(int(total_frames), self.start)
         n_chunks = max(1, -(-(self.total - self.start) // self.chunk))
         self.n_chunks = n_chunks
         # fps resampling forbids the per-chunk seek-positioned open (an
@@ -562,8 +607,21 @@ def open_reader(
     accel = map_decoder_to_hwaccel(decoder_preference)
     if find_ffmpeg():
         try:
-            return FFmpegRawReader(src, out_w, out_h, fps, accel, pipe_format,
-                                   start_frame, src_fps=src_fps)
+            rd = FFmpegRawReader(src, out_w, out_h, fps, accel, pipe_format,
+                                 start_frame, src_fps=src_fps)
+            if accel:
+                # runtime tier probe: an unsupported -hwaccel exits
+                # nonzero only once decoding starts, so prime one frame
+                # and fall to the plain-ffmpeg tier on failure (the
+                # reference's probe-and-fallback, crt_filter.py:1024-1036)
+                try:
+                    rd._prime()
+                except RuntimeError:
+                    rd.close()
+                    rd = FFmpegRawReader(src, out_w, out_h, fps, None,
+                                         pipe_format, start_frame,
+                                         src_fps=src_fps)
+            return rd
         except Exception:
             if pipe_format == "gbrp":
                 raise  # planar frames need the ffmpeg pipe; no cv2 shape

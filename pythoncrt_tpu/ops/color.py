@@ -123,12 +123,17 @@ def apply_triad_planar(
     gamma: float,
     preserve_luma: bool,
     lut_exact: bool = True,
+    corder: tuple = (0, 1, 2),
 ) -> jnp.ndarray:
     """apply_triad on the planar (B, 3, H, W) layout (channel axis 1),
     op-for-op identical per element — broadcasting direction does not
-    change the f32 op sequence. mask: (3, 1, W). Used by the fused
-    stripe pipeline's XLA epilogue (engine._fused_stages), where the
-    planar layout feeds the warp kernel without a transpose."""
+    change the f32 op sequence. mask: (3, 1, W), already row-permuted so
+    row i applies to plane i. corder: plane i holds color corder[i]
+    (gbrp pipes run (1, 2, 0)); the luma gathers planes by color so the
+    R+G+B f32 summation order matches the oracle exactly, as in the
+    fused kernel. Used by the fused stripe pipeline's XLA epilogue
+    (engine._fused_stages), where the planar layout feeds the warp
+    kernel without a transpose."""
     g = float(gamma)
     m = mask[None]  # (1, 3, 1, W)
     if ((not preserve_luma) and abs(g - 1.0) < 1e-3) or g <= 0.0:
@@ -139,10 +144,12 @@ def apply_triad_planar(
         lin = jnp.power(jnp.clip(imgs, 0.0, 1.0), np.float32(g))
     out_lin = lin * m
 
+    ir, ig, ib = corder.index(0), corder.index(1), corder.index(2)
+
     def luma(x):
-        return (np.float32(REC709_R) * x[:, 0]
-                + np.float32(REC709_G) * x[:, 1]
-                + np.float32(REC709_B) * x[:, 2])
+        return (np.float32(REC709_R) * x[:, ir]
+                + np.float32(REC709_G) * x[:, ig]
+                + np.float32(REC709_B) * x[:, ib])
 
     if preserve_luma:
         ratio = jnp.clip(luma(lin) / jnp.maximum(luma(out_lin), 1e-6), 0.5, 2.0)

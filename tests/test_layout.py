@@ -109,6 +109,28 @@ def test_planar_gbr_matches_rgb(name):
     np.testing.assert_array_equal(st_g, st_r[list(GBR)])
 
 
+@pytest.mark.parametrize("name", ["c3_full", "luma_knee"])
+def test_planar_gbr_epilogue_xla_matches_rgb(name, monkeypatch):
+    """PCRT_FUSED_EPI=xla (stages 7-11 as an XLA epilogue instead of
+    in-kernel) must honor the gbr plane order exactly like the fused
+    kernel's branded spec.corder: the triad mask rows and the
+    preserve-luma weights permute to each plane's color."""
+    monkeypatch.setenv("PCRT_FUSED_EPI", "xla")
+    overrides = CASES[name][0]
+    p = identity_params(**overrides)
+    frames = synth_frames(B, H, W, seed=5)
+    planes_rgb = np.transpose(frames, (0, 3, 1, 2))
+
+    eng_r = build(p, layout="planar")
+    assert eng_r._fused_epi_xla
+    out_r = np.asarray(eng_r.process(planes_rgb)[0])
+
+    eng_g = build(p, layout="planar", channel_order="gbr")
+    out_g = np.asarray(eng_g.process(planes_rgb[:, list(GBR)])[0])
+
+    np.testing.assert_array_equal(out_g, out_r[:, list(GBR)])
+
+
 def test_layout_auto_resolution():
     assert build(identity_params(**FULL), layout="auto").layout == "planar"
     assert build(identity_params(**CASES["c1_scan_vig"][0]),

@@ -211,6 +211,58 @@ class TestIO:
                 pass
         par.close()
 
+    def test_decoder_nonzero_exit_raises(self):
+        """A short read with a nonzero decoder exit is a decode FAILURE
+        (unsupported -hwaccel, corrupt input, mid-stream crash), never a
+        silent EOF that truncates the render; exit 0 stays clean EOF."""
+
+        class FakeProc:
+            def __init__(self, rc):
+                self.rc = rc
+
+            def wait(self, timeout=None):
+                return self.rc
+
+        rd = vio.FFmpegRawReader.__new__(vio.FFmpegRawReader)
+        rd.proc = FakeProc(1)
+        with pytest.raises(RuntimeError, match="exited with code 1"):
+            rd._eof_or_raise()
+        rd.proc = FakeProc(0)
+        assert rd._eof_or_raise() is False
+
+    def test_chunked_reader_start_past_total(self, tiny_clip):
+        """start_frame beyond the (estimated) total is a clean 0-frame
+        EOF — the same contract as the sequential reader — not a
+        negative buffer dimension in the worker (resume can journal more
+        frames than a re-probe estimates)."""
+        path, frames = tiny_clip
+        n = frames.shape[0]
+        rd = vio.ChunkedParallelReader(
+            str(path), frames.shape[2], frames.shape[1], 24.0,
+            total_frames=n, batch_size=4, workers=2, start_frame=n + 5)
+        try:
+            assert list(rd.iter_batches(4)) == []
+        finally:
+            rd.close()
+
+    def test_encoder_probe_memoized(self, monkeypatch):
+        """Capability probes run ONE subprocess per (codec, binary):
+        segmented/batch renders open a writer per segment/clip and must
+        not re-probe unchanging hardware every time."""
+        calls = []
+
+        class R:
+            returncode = 0
+
+        monkeypatch.setattr(vio, "find_ffmpeg", lambda: "/fake/ffmpeg")
+        monkeypatch.setattr(vio.subprocess, "run",
+                            lambda cmd, **k: calls.append(cmd) or R())
+        monkeypatch.setattr(vio, "_PROBE_CACHE", {})
+        assert vio.can_use_nvenc() and vio.can_use_nvenc()
+        assert len(calls) == 1
+        vio.can_use_amf()  # distinct codec: its own probe
+        assert len(calls) == 2
+
     def test_writer_roundtrip(self, tmp_path):
         frames = synth_frames(6, 48, 64, seed=1)
         w, used_gpu = vio.open_writer(str(tmp_path / "o.mp4"), 64, 48, 24)
@@ -423,6 +475,46 @@ class TestCLI:
         a2 = build_parser().parse_args(argv2)
         p2 = params_from_args(a2, provided_flags(argv2))
         assert p2.scanline_strength == pytest.approx(0.9)
+
+    def test_preset_fast_bloom_not_overridden(self, tmp_path):
+        """fast_bloom's default lives on the parser action: a preset's
+        "fast_bloom": false must survive (a parser-level set_defaults
+        made it look explicitly passed on every run), while explicit
+        --fast-bloom / --no-fast-bloom still win."""
+        from pythoncrt_tpu.cli import build_parser, params_from_args, provided_flags
+        from pythoncrt_tpu.params import save_preset
+
+        save_preset(tmp_path / "p.json", EffectParams(fast_bloom=False))
+        pre = ["--input", "x.mp4", "--preset", str(tmp_path / "p.json")]
+        for extra, want in ([], False), (["--fast-bloom"], True), \
+                           (["--no-fast-bloom"], False):
+            argv = pre + extra
+            a = build_parser().parse_args(argv)
+            p = params_from_args(a, provided_flags(argv))
+            assert p.fast_bloom is want, (extra, p.fast_bloom)
+        # no preset: the parser default is True
+        a = build_parser().parse_args(["--input", "x.mp4"])
+        assert params_from_args(a, provided_flags(["--input", "x.mp4"])
+                                ).fast_bloom is True
+
+    def test_text_preset_explicit_flags_win(self, tmp_path):
+        """--text-preset is the BASE for text flags, same precedence as
+        --preset for effect flags: an explicit --text-size overrides the
+        preset's size, unprovided fields keep the preset's values."""
+        import json
+
+        from pythoncrt_tpu.cli import build_parser, params_from_args, provided_flags
+
+        (tmp_path / "t.json").write_text(json.dumps({
+            "text": "HELLO", "font": "", "size": 72, "color": "#00FF00",
+            "x": 5, "y": 7, "after": True}))
+        argv = ["--input", "x.mp4", "--text-preset", str(tmp_path / "t.json"),
+                "--text-size", "48"]
+        a = build_parser().parse_args(argv)
+        t = params_from_args(a, provided_flags(argv)).text
+        assert t.size == 48  # explicit flag wins
+        assert (t.text, t.color, t.x, t.y, t.after) == \
+            ("HELLO", "#00FF00", 5, 7, True)  # preset is the base
 
     def test_docstring_flags_exist_in_parser(self):
         """Every flag advertised in the cli module docstring must exist
