@@ -803,7 +803,8 @@ def warp_nhwc(
         if emit_scaled or emit_u8:
             raise ValueError("emit_scaled/emit_u8 require int_domain")
         planar = jnp.transpose(imgs, (0, 3, 1, 2))
-        out = warp_planar(planar, tables, masks, interpret, exact)
+        out = warp_planar(planar, tables, masks, interpret, exact,
+                          debug=debug)
         return jnp.transpose(out, (0, 2, 3, 1))
     feed_dt = (jnp.bfloat16 if os.environ.get("PCRT_WARP_FEED") == "bf16"
                else jnp.uint8)  # u8 halves the window DMA bytes

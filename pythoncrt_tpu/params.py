@@ -189,8 +189,6 @@ class EffectParams:
 
     # ---- preset JSON (schema identical to reference crt_filter.py:2043-2080) ----
 
-    _PRESET_FLOAT_KEYS = ()
-
     def to_preset_dict(
         self,
         *,

@@ -534,6 +534,12 @@ def process_video(
                 store.merge(
                     seg_box.get("segments", next_seg), out_w, out_h, fps_out,
                     audio_path=audio_path,
+                    # the re-encode fallback must honor the user's codec
+                    # settings, not re-encode at defaults
+                    enc_kwargs=dict(
+                        encoder_preference=encoder_preference, gpu=gpu,
+                        crf=crf, bitrate_kbps=target_bitrate_kbps,
+                        nvenc_preset=nvenc_preset),
                 )
             used_gpu = bool(seg_box.get("used_gpu", False))
     finally:

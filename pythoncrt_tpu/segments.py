@@ -88,9 +88,23 @@ class SegmentStore:
         if next_seg > 0:
             sp = self._state_path(next_seg - 1)
             if sp.exists():
-                state = np.load(sp)
-            # no snapshot recorded => render had no carry (persistence
-            # off); None is correct then.
+                try:
+                    state = np.load(sp)
+                except Exception:
+                    # truncated/corrupt snapshot (out-of-band damage):
+                    # the journal prefix is unusable — re-render from
+                    # scratch rather than crash or resume a wrong carry
+                    self._reset()
+                    return 0, 0, None
+            elif float(self.sig.get("params", {})
+                       .get("persistence", 0.0)) > 0.0:
+                # the render carries state but its snapshot is gone
+                # (e.g. disk cleanup): silently restarting the stream
+                # head would diverge from an uninterrupted render
+                self._reset()
+                return 0, 0, None
+            # no snapshot + persistence off => render had no carry;
+            # None is correct then.
         return next_seg, done_frames, state
 
     def _reset(self) -> None:
@@ -134,16 +148,25 @@ class SegmentStore:
         fps: float,
         audio_path: Optional[str] = None,
         keep_segments: bool = False,
+        enc_kwargs: Optional[dict] = None,
     ) -> None:
         """Assemble segments into the final output: ffmpeg concat
-        stream-copy when a binary exists (lossless), else an OpenCV
-        re-encode pass (this host's fallback encoder tier)."""
+        stream-copy when a binary exists (lossless), else a re-encode
+        pass (this host's fallback encoder tier). enc_kwargs carries the
+        user's codec settings (crf/bitrate/encoder/nvenc) into the
+        re-encode pass so the fallback honors them."""
         paths = [self.seg_path(i) for i in range(n_segments)]
         exe = vio.find_ffmpeg()
         merged = False
         if exe:
             lst = self.dir / "concat.txt"
-            lst.write_text("".join(f"file '{p.resolve()}'\n" for p in paths))
+            # concat-demuxer quoting: a literal ' inside file '...'
+            # must be written as '\'' or paths with apostrophes break
+            # the lossless copy (silently falling to the re-encode)
+            q = "'\\''"
+            lst.write_text("".join(
+                "file '" + str(p.resolve()).replace("'", q) + "'\n"
+                for p in paths))
             cmd = [exe, "-hide_banner", "-loglevel", "error", "-y",
                    "-f", "concat", "-safe", "0", "-i", str(lst)]
             if audio_path:
@@ -154,7 +177,8 @@ class SegmentStore:
             import cv2
 
             writer, _ = vio.open_writer(
-                str(self.output_path), w, h, fps, audio_path=audio_path
+                str(self.output_path), w, h, fps, audio_path=audio_path,
+                **(enc_kwargs or {})
             )
             try:
                 for p in paths:

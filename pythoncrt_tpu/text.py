@@ -105,6 +105,11 @@ def rasterize_text_qt(w: int, h: int, t: TextParams) -> np.ndarray:
         from PySide6 import QtCore, QtGui
     except ImportError:
         return rasterize_text(w, h, t)
+    if QtGui.QGuiApplication.instance() is None:
+        # QPainter text / QFontDatabase without a QGuiApplication is a
+        # Qt FATAL abort, not an exception — headless callers (tests,
+        # CLI renders on a PySide6-equipped host) take the PIL path
+        return rasterize_text(w, h, t)
     if not t.text:
         return np.zeros((h, w, 4), dtype=np.uint8)
     img = QtGui.QImage(w, h, QtGui.QImage.Format_RGBA8888)
@@ -141,13 +146,26 @@ def rasterize_text_qt(w: int, h: int, t: TextParams) -> np.ndarray:
     return arr[:expected].reshape(h, bpl // 4, 4)[:, :w, :].copy()
 
 
-def overlay_for(
-    w: int, h: int, t: TextParams, _cache: dict = {}
-) -> Optional[np.ndarray]:
-    """Cached rasterization keyed by the full text config + canvas size."""
+_OVERLAY_CACHE: "OrderedDict" = None  # built lazily below
+_OVERLAY_CACHE_MAX = 16  # a 1080p RGBA canvas is ~8 MB; bound the set
+
+
+def overlay_for(w: int, h: int, t: TextParams) -> Optional[np.ndarray]:
+    """LRU-cached rasterization keyed by the full text config + canvas
+    size (the GUI preview re-rasterizes per text edit; unbounded
+    retention would grow by a full canvas per keystroke)."""
+    global _OVERLAY_CACHE
     if not t.enabled:
         return None
+    if _OVERLAY_CACHE is None:
+        from collections import OrderedDict
+
+        _OVERLAY_CACHE = OrderedDict()
     key = (w, h, t)
-    if key not in _cache:
-        _cache[key] = rasterize_text(w, h, t)
-    return _cache[key]
+    if key in _OVERLAY_CACHE:
+        _OVERLAY_CACHE.move_to_end(key)
+    else:
+        _OVERLAY_CACHE[key] = rasterize_text(w, h, t)
+        while len(_OVERLAY_CACHE) > _OVERLAY_CACHE_MAX:
+            _OVERLAY_CACHE.popitem(last=False)
+    return _OVERLAY_CACHE[key]

@@ -90,6 +90,19 @@ class TestText:
         b = overlay_for(64, 32, t)
         assert a is b  # cached
 
+    def test_overlay_cache_bounded(self):
+        """The overlay cache is an LRU (GUI text edits rasterize one
+        full canvas per distinct config; unbounded retention leaks)."""
+        from pythoncrt_tpu import text as tmod
+
+        cap = tmod._OVERLAY_CACHE_MAX
+        for i in range(cap + 8):
+            overlay_for(32, 16, TextParams(text=f"t{i}", size=10))
+        assert len(tmod._OVERLAY_CACHE) <= cap
+        # most-recent entry survives
+        t = TextParams(text=f"t{cap + 7}", size=10)
+        assert (32, 16, t) in tmod._OVERLAY_CACHE
+
     def test_position_respected(self):
         t = TextParams(text="X", size=20, x=100, y=30)
         out = rasterize_text(200, 80, t)

@@ -709,6 +709,84 @@ class TestSegmentStore:
         assert (nxt, skip) == (1, 8)
         assert state is not None and state.shape == (2, 2, 3)
 
+    def test_corrupt_state_snapshot_resets(self, tmp_path):
+        """A truncated/corrupt carry snapshot discards the journal
+        (fresh render) instead of crashing or resuming a wrong carry."""
+        st = self._store(tmp_path, sig={"params": {"persistence": 0.5}})
+        st.resume()
+        st.seg_path(0).write_bytes(b"x")
+        st.mark_done(0, 8, np.zeros((2, 2, 3), np.float32))
+        st._state_path(0).write_bytes(b"\x93NUMP")  # truncated .npy
+        assert st.resume() == (0, 0, None)
+
+    def test_missing_snapshot_with_persistence_resets(self, tmp_path):
+        """Persistence carries state: a journaled prefix whose snapshot
+        vanished must re-render, not silently restart the stream head."""
+        st = self._store(tmp_path, sig={"params": {"persistence": 0.5}})
+        st.resume()
+        st.seg_path(0).write_bytes(b"x")
+        st.mark_done(0, 8, np.zeros((2, 2, 3), np.float32))
+        st._state_path(0).unlink()
+        assert st.resume() == (0, 0, None)
+        # persistence off: no snapshot is the expected state — resume
+        st2 = self._store(tmp_path, sig={"params": {"persistence": 0.0}})
+        st2.resume()
+        st2.seg_path(0).write_bytes(b"x")
+        st2.mark_done(0, 8, None)
+        assert st2.resume() == (1, 8, None)
+
+    def test_merge_concat_list_escapes_quotes(self, tmp_path, monkeypatch):
+        """ffmpeg's concat demuxer needs ' escaped as '\\'' inside the
+        quoted file entries, or apostrophe paths break the lossless
+        stream-copy."""
+        from pythoncrt_tpu.segments import SegmentStore
+        from pythoncrt_tpu.segments import vio as seg_vio
+
+        st = SegmentStore(tmp_path / "it's done.mp4", {"k": 1})
+        st.resume()
+        st.seg_path(0).write_bytes(b"x")
+        calls = []
+
+        class R:
+            returncode = 0
+
+        monkeypatch.setattr(seg_vio, "find_ffmpeg", lambda: "/fake/ffmpeg")
+        monkeypatch.setattr("pythoncrt_tpu.segments.subprocess.run",
+                            lambda cmd, **k: calls.append(cmd) or R())
+        st.merge(1, 4, 4, 24.0, keep_segments=True)
+        assert calls, "concat path not taken"
+        txt = (st.dir / "concat.txt").read_text()
+        assert "'\\''" in txt and "it" in txt
+        # each entry stays a single well-formed file '...' line
+        assert txt.startswith("file '") and txt.endswith("'\n")
+
+    def test_merge_fallback_honors_enc_kwargs(self, tmp_path, monkeypatch):
+        """Without ffmpeg the merge re-encode must use the user's codec
+        settings, not defaults."""
+        from pythoncrt_tpu import segments as segmod
+
+        st = segmod.SegmentStore(tmp_path / "o2.mp4", {"k": 1})
+        st.resume()
+        got = {}
+
+        class W:
+            def write_frame(self, f):
+                pass
+
+            def close(self):
+                pass
+
+        def fake_open_writer(path, w, h, fps, **kw):
+            got.update(kw)
+            return W(), False
+
+        monkeypatch.setattr(segmod.vio, "find_ffmpeg", lambda: None)
+        monkeypatch.setattr(segmod.vio, "open_writer", fake_open_writer)
+        st.merge(0, 4, 4, 24.0, enc_kwargs=dict(crf=28, gpu=True,
+                                                encoder_preference="cpu"))
+        assert got.get("crf") == 28 and got.get("gpu") is True
+        assert got.get("encoder_preference") == "cpu"
+
     def test_sig_mismatch_discards(self, tmp_path):
         st = self._store(tmp_path, {"k": 1})
         st.resume()
