@@ -116,10 +116,13 @@ def _preview_engine_mode() -> bool:
 
 
 _PREVIEW_BUILD_FAILED = object()  # negative-cache sentinel
+_PREVIEW_FAIL_TTL_S = 60.0  # transient failures (HBM held by an export,
+#                             relay hiccup) retry after this, not never
 
 
 def _get_preview_engine(p: EffectParams, pw: int, ph: int):
     import dataclasses
+    import time
 
     # persistence stays on the HOST side (oracle.persistence_blend):
     # the preview blends/carries across arbitrary wall-clock ticks
@@ -134,22 +137,32 @@ def _get_preview_engine(p: EffectParams, pw: int, ph: int):
         # LRU refresh: move the hit to the back (plain dicts preserve
         # insertion order; pop+reinsert is the move_to_end)
         eng = _PREVIEW_ENGINES.pop(key)
-        _PREVIEW_ENGINES[key] = eng
-        return None if eng is _PREVIEW_BUILD_FAILED else eng
+        if isinstance(eng, tuple) and eng[0] is _PREVIEW_BUILD_FAILED:
+            if time.monotonic() < eng[1]:
+                _PREVIEW_ENGINES[key] = eng
+                return None
+            # failure entry expired: fall through and rebuild
+        else:
+            _PREVIEW_ENGINES[key] = eng
+            return eng
     from .engine import CRTEngine
 
     try:
         eng = CRTEngine(pe, ph, pw, fps=30.0, engine="preview", rng="host",
                         text_rgba=overlay_for(pw, ph, p.text))
     except Exception:
-        # negative-cache the failure: without it every ~30 fps preview
-        # tick would retry the full (seconds-long) build before falling
-        # back to the oracle, degrading below the oracle-only rate
-        eng = _PREVIEW_BUILD_FAILED
+        # negative-cache the failure WITH a TTL: without the cache every
+        # ~30 fps preview tick would retry the (seconds-long) build
+        # before falling back to the oracle; without the TTL a transient
+        # failure would pin this preset to the ~1 fps oracle forever
+        eng = (_PREVIEW_BUILD_FAILED,
+               time.monotonic() + _PREVIEW_FAIL_TTL_S)
     if len(_PREVIEW_ENGINES) >= _PREVIEW_ENGINES_MAX:
         _PREVIEW_ENGINES.pop(next(iter(_PREVIEW_ENGINES)))
     _PREVIEW_ENGINES[key] = eng
-    return None if eng is _PREVIEW_BUILD_FAILED else eng
+    if isinstance(eng, tuple) and eng[0] is _PREVIEW_BUILD_FAILED:
+        return None
+    return eng
 
 
 def render_preview_frame(
@@ -424,6 +437,9 @@ def qt_classes():
             self.text_input = QtWidgets.QLineEdit()
             self.text_input.textChanged.connect(self._render_current_frame)
             self.text_font_path = QtWidgets.QLineEdit()
+            # typing a font path refreshes the preview like every other
+            # text field (Browse… refreshes via on_browse_font)
+            self.text_font_path.textChanged.connect(self._render_current_frame)
             self.text_size = self._ispin(4, 256, 36)
             self.text_color = QtWidgets.QLineEdit("#FFFFFF")
             self.text_color.textChanged.connect(self._render_current_frame)
@@ -516,25 +532,39 @@ def qt_classes():
 
         def _apply_settings(self, s: dict) -> None:
             p = EffectParams.from_preset_dict(s, self.current_params())
-            for attr, field, _tab, _lbl, kind, *_ in EFFECT_CONTROLS:
-                w = getattr(self, attr)
-                if kind == "b":
-                    w.setChecked(bool(getattr(p, field)))
-                elif kind == "i":
-                    w.setValue(int(getattr(p, field)))
-                else:
-                    w.setValue(float(getattr(p, field)))
-            if "crf" in s:
-                self.crf_val.setValue(int(s["crf"]))
-            if "bitrate_kbps" in s:
-                self.bitrate_kbps.setValue(int(s["bitrate_kbps"]))
-            if "nvenc_preset" in s:
-                self.nvenc_preset.setText(str(s["nvenc_preset"]))
-            if "gpu" in s:
-                self.gpu_cb.setChecked(bool(s["gpu"]))
-            if "encoder" in s:
-                idx = self.encoder_choice.findText(str(s["encoder"]).lower())
-                self.encoder_choice.setCurrentIndex(max(0, idx))
+            # block per-widget change signals for the whole batch: each
+            # setValue would otherwise trigger a full preview render of
+            # a half-applied param mix (and, in engine-preview mode, a
+            # seconds-long throwaway compile per intermediate combo)
+            widgets = [getattr(self, attr)
+                       for attr, *_ in EFFECT_CONTROLS]
+            widgets += [self.crf_val, self.bitrate_kbps,
+                        self.nvenc_preset, self.gpu_cb, self.encoder_choice]
+            for w in widgets:
+                w.blockSignals(True)
+            try:
+                for attr, field, _tab, _lbl, kind, *_ in EFFECT_CONTROLS:
+                    w = getattr(self, attr)
+                    if kind == "b":
+                        w.setChecked(bool(getattr(p, field)))
+                    elif kind == "i":
+                        w.setValue(int(getattr(p, field)))
+                    else:
+                        w.setValue(float(getattr(p, field)))
+                if "crf" in s:
+                    self.crf_val.setValue(int(s["crf"]))
+                if "bitrate_kbps" in s:
+                    self.bitrate_kbps.setValue(int(s["bitrate_kbps"]))
+                if "nvenc_preset" in s:
+                    self.nvenc_preset.setText(str(s["nvenc_preset"]))
+                if "gpu" in s:
+                    self.gpu_cb.setChecked(bool(s["gpu"]))
+                if "encoder" in s:
+                    idx = self.encoder_choice.findText(str(s["encoder"]).lower())
+                    self.encoder_choice.setCurrentIndex(max(0, idx))
+            finally:
+                for w in widgets:
+                    w.blockSignals(False)
             self._render_current_frame()
 
         # ---------------- preview ----------------
@@ -550,11 +580,15 @@ def qt_classes():
 
         def _show(self, rgb_u8: np.ndarray) -> None:
             h, w = rgb_u8.shape[:2]
+            # hold the contiguous buffer in a local until after copy():
+            # QImage does not own the Python buffer, and a temp from
+            # ascontiguousarray would be freed before the copy reads it
+            buf = np.ascontiguousarray(rgb_u8)
             qimg = QtGui.QImage(
-                np.ascontiguousarray(rgb_u8).data, w, h, 3 * w,
-                QtGui.QImage.Format_RGB888,
+                buf.data, w, h, 3 * w, QtGui.QImage.Format_RGB888,
             )
             self.video_label.setPixmap(QtGui.QPixmap.fromImage(qimg.copy()))
+            del qimg, buf
             mins, secs = divmod(int(self.t), 60)
             self.status.showMessage(f"{mins:02d}:{secs:02d}")
 
@@ -668,13 +702,23 @@ def qt_classes():
             except (OSError, ValueError) as e:
                 QtWidgets.QMessageBox.critical(self, "Error", f"Failed to load text preset:\n{e}")
                 return
-            self.text_input.setText(t.text)
-            self.text_font_path.setText(t.font)
-            self.text_size.setValue(t.size)
-            self.text_color.setText(t.color)
-            self.text_x.setValue(t.x)
-            self.text_y.setValue(t.y)
-            self.text_after.setChecked(t.after)
+            widgets = [self.text_input, self.text_font_path, self.text_size,
+                       self.text_color, self.text_x, self.text_y,
+                       self.text_after]
+            for w in widgets:  # one preview render for the batch, not 7
+                w.blockSignals(True)
+            try:
+                self.text_input.setText(t.text)
+                self.text_font_path.setText(t.font)
+                self.text_size.setValue(t.size)
+                self.text_color.setText(t.color)
+                self.text_x.setValue(t.x)
+                self.text_y.setValue(t.y)
+                self.text_after.setChecked(t.after)
+            finally:
+                for w in widgets:
+                    w.blockSignals(False)
+            self._render_current_frame()
             self.status.showMessage("Text preset loaded")
 
         def on_render(self):
@@ -682,8 +726,14 @@ def qt_classes():
                 self.status.showMessage("Open a video first")
                 return
             dlg = ExportDialog(self)
+            # seed from the Output tab; the dialog's checkbox then WINS
+            # (an OR could enable but never disable hardware encode)
+            dlg.gpu_cb.setChecked(self.gpu_cb.isChecked())
             if dlg.exec() != QtWidgets.QDialog.Accepted:
                 return
+            # one TPU client at a time (CLAUDE.md: serialize TPU-using
+            # tasks): preview ticks must not contend with the export
+            self.timer.stop()
             kwargs = dict(
                 input_path=self.reader.path,
                 output_path=dlg.path_edit.text(),
@@ -693,7 +743,7 @@ def qt_classes():
                 fps=dlg.fps_box.value() or None,
                 crf=self.crf_val.value(),
                 target_bitrate_kbps=self.bitrate_kbps.value(),
-                gpu=dlg.gpu_cb.isChecked() or self.gpu_cb.isChecked(),
+                gpu=dlg.gpu_cb.isChecked(),
                 nvenc_preset=self.nvenc_preset.text(),
                 encoder_preference=self.encoder_choice.currentText(),
                 decoder_preference=self.decoder_choice.currentText(),
@@ -723,6 +773,14 @@ def qt_classes():
             self.status.showMessage(("Render done — " + msg) if ok else ("Render failed: " + msg))
 
         def closeEvent(self, e):
+            th = getattr(self, "_render_thread", None)
+            if th is not None and th.isRunning():
+                # destroying a running QThread aborts the process and
+                # leaves a truncated export; refuse the close instead
+                self.status.showMessage(
+                    "Render in progress — wait for it to finish")
+                e.ignore()
+                return
             try:
                 self.timer.stop()
                 if self.reader is not None:

@@ -39,7 +39,10 @@ def _build() -> Path | None:
     cc = os.environ.get("CC", "cc")
     include = sysconfig.get_path("include")
     out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = out.with_suffix(out.suffix + ".tmp")
+    # per-process tmp: concurrent first-use builds (parallel batch jobs)
+    # must not interleave writes into one tmp file; os.replace is atomic
+    # and last-writer-wins with identical content
+    tmp = out.with_suffix(out.suffix + f".tmp.{os.getpid()}")
     cmd = [
         cc, "-O3", "-shared", "-fPIC", "-std=c11",
         f"-I{include}", str(_SRC), "-o", str(tmp),
@@ -52,6 +55,12 @@ def _build() -> Path | None:
         return out
     except (OSError, subprocess.TimeoutExpired):
         return None
+    finally:
+        try:
+            if tmp.exists():
+                os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def get():
@@ -62,6 +71,7 @@ def get():
     _tried = True
     if os.environ.get("PCRT_NO_NATIVE"):
         return None
+    path = None
     try:
         path = _build()
         if path is None:
@@ -74,6 +84,14 @@ def get():
         _mod = mod
     except Exception:
         _mod = None
+        # a corrupt cached .so (interrupted/raced build) must not
+        # disable the native path forever: drop it so a later run
+        # rebuilds instead of hitting the same broken file
+        if path is not None:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
     return _mod
 
 
@@ -84,9 +102,15 @@ def readinto_exact(f, buf: memoryview) -> int:
     mod = get()
     if mod is not None:
         try:
-            return mod.readinto_exact(f.fileno(), buf)
-        except (OSError, AttributeError):
-            pass
+            fd = f.fileno()
+        except Exception:
+            fd = None  # no real fd (BytesIO, ...): python fallback
+        if fd is not None:
+            # an OSError from the C read PROPAGATES: the native loop may
+            # already have consumed a partial frame, and silently
+            # restarting from the current pipe offset would shift every
+            # later frame boundary (silent corruption, not an error)
+            return mod.readinto_exact(fd, buf)
     got = 0
     n = len(buf)
     while got < n:

@@ -231,6 +231,38 @@ class TestEnginePreview:
         assert len(calls) == 1
         gui_qt._PREVIEW_ENGINES.clear()
 
+    def test_negative_cache_expires_and_retries(self, monkeypatch):
+        """A transient build failure (e.g. HBM held by an export) must
+        not pin the preset to the oracle path forever: the failure entry
+        carries a TTL and the build retries after it expires."""
+        import time as _time
+
+        from pythoncrt_tpu import engine as eng_mod
+        from pythoncrt_tpu import gui_qt
+
+        gui_qt._PREVIEW_ENGINES.clear()
+        calls = []
+
+        def boom(*a, **k):
+            calls.append(1)
+            raise RuntimeError("transient failure")
+
+        monkeypatch.setattr(eng_mod, "CRTEngine", boom)
+        p = EffectParams(noise_strength=0.0, persistence=0.0)
+        t0 = _time.monotonic()
+        assert gui_qt._get_preview_engine(p, 64, 48) is None
+        assert len(calls) == 1
+        # within TTL: cached, no retry
+        assert gui_qt._get_preview_engine(p, 64, 48) is None
+        assert len(calls) == 1
+        # past TTL: retried
+        monkeypatch.setattr(
+            "time.monotonic",
+            lambda: t0 + gui_qt._PREVIEW_FAIL_TTL_S + 1.0)
+        assert gui_qt._get_preview_engine(p, 64, 48) is None
+        assert len(calls) == 2
+        gui_qt._PREVIEW_ENGINES.clear()
+
     def test_engine_cache_is_lru_not_fifo(self):
         """A cache hit refreshes recency: cycling presets must evict
         the least-recently-USED engine, not the oldest-inserted."""

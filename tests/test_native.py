@@ -48,6 +48,63 @@ def test_readinto_exact_short_read_eof():
     assert bytes(buf[:3]) == b"abc"
 
 
+def test_readinto_oserror_propagates(monkeypatch):
+    """A mid-read OSError from the native loop PROPAGATES: the C read
+    may already have consumed part of a frame, and silently restarting
+    the Python fallback from the current pipe offset would shift every
+    later frame boundary (silent corruption)."""
+
+    class FakeMod:
+        @staticmethod
+        def readinto_exact(fd, buf):
+            raise OSError(5, "injected I/O error")
+
+    monkeypatch.setattr(native, "get", lambda: FakeMod)
+    r, w = os.pipe()
+    try:
+        with os.fdopen(r, "rb", buffering=0) as f:
+            with pytest.raises(OSError, match="injected"):
+                native.readinto_exact(f, memoryview(bytearray(4)))
+    finally:
+        os.close(w)
+
+
+def test_readinto_no_fd_falls_back(monkeypatch):
+    """File-likes without a real fd (BytesIO) use the Python loop."""
+    import io
+
+    class FakeMod:
+        @staticmethod
+        def readinto_exact(fd, buf):  # pragma: no cover
+            raise AssertionError("native path must not be used")
+
+    monkeypatch.setattr(native, "get", lambda: FakeMod)
+    buf = bytearray(3)
+    got = native.readinto_exact(io.BytesIO(b"xyz"), memoryview(buf))
+    assert got == 3 and bytes(buf) == b"xyz"
+
+
+def test_corrupt_cached_so_recovers(tmp_path, monkeypatch):
+    """A corrupt cached .so (interrupted/raced build) is deleted on the
+    failed load so a later run rebuilds, instead of permanently
+    disabling the native path. The corrupt file is planted WITHOUT ever
+    loading a good copy from that inode first (dlopen over an
+    in-process-mapped overwritten file is a SIGBUS, which a fresh
+    process — the real resume scenario — never does)."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    path = native._build()  # compile only, no load
+    if path is None:
+        pytest.skip("no C compiler available on this host")
+    path.write_bytes(b"not an ELF")  # simulate a raced/interrupted build
+    monkeypatch.setattr(native, "_mod", None)
+    monkeypatch.setattr(native, "_tried", False)
+    assert native.get() is None  # corrupt load fails this process...
+    assert not path.exists()  # ...but drops the bad file
+    monkeypatch.setattr(native, "_mod", None)
+    monkeypatch.setattr(native, "_tried", False)
+    assert native.get() is not None  # next run rebuilds cleanly
+
+
 def _yuv_ref(src, w, h):
     a = np.frombuffer(src, np.uint8)
     yp = a[: w * h].reshape(h, w).astype(np.int64)
