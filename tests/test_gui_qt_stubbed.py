@@ -407,3 +407,21 @@ class TestRunApp:
         assert app._style == "Fusion"
         assert app._palette is not None
         assert "QMainWindow" in app._stylesheet
+
+
+class TestTextQtGate:
+    def test_rasterize_text_qt_without_app_takes_pil_path(self, qt):
+        """With Qt importable but no QGuiApplication constructed (the
+        CLI-render-on-a-Qt-host case), rasterize_text_qt must take the
+        PIL fallback — QPainter without an app is a Qt fatal abort, not
+        an exception (text.py:108-112). Previously only exercised with
+        Qt absent entirely."""
+        from pythoncrt_tpu.params import TextParams
+        from pythoncrt_tpu.text import rasterize_text, rasterize_text_qt
+
+        assert qt.QtGui.QGuiApplication.instance() is None
+        t = TextParams(text="HI", size=14, color="#ff0000", x=2, y=3)
+        out = rasterize_text_qt(32, 24, t)
+        ref = rasterize_text(32, 24, t)
+        assert out.shape == (24, 32, 4) and out.dtype == np.uint8
+        assert np.array_equal(out, ref)  # byte-identical PIL fallback
